@@ -1,0 +1,430 @@
+"""E-Branchformer CTC encoder family in Flax — TPU-native.
+
+Behavioral twin of the reference architecture (reference:
+src/models/encoders/e_branchformer.py, src/models/extractors.py,
+src/models/streaming_modules.py) built from scratch for JAX/XLA:
+
+  * 2-D conv front end over (B, T, mel) features (+ gated variants, causal
+    streaming variants), then LayerNorm + projection.
+  * Encoder layers: macaron FF (×0.5 residual) → parallel self-attention
+    (Transformer-XL relative or rotary position embeddings) and cgMLP (CSGU)
+    branches → concat → depthwise-conv fusion residual → merge projection →
+    residual → macaron FF2 → final LayerNorm.
+  * CTC head: vocab lm_head plus a SEPARATE 1-unit blank projection
+    concatenated as the LAST logit (reference e_branchformer.py:456-457),
+    fp32 CTC loss with blank = last index.
+
+TPU-first choices: everything is static-shape and mask-driven; attention is
+plain batched einsum (sequence lengths after 4× subsampling are ≤ ~500 for
+20 s audio, so MXU-friendly dense attention beats exotic kernels); params are
+stored fp32 and computed in a configurable ``dtype`` (bf16 for training).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from huggingface_asr_tpu.models.configs import EBranchformerConfig
+from huggingface_asr_tpu.ops.ctc import ctc_loss as ctc_loss_fn
+from huggingface_asr_tpu.ops.lengths import conv_output_length, lengths_to_mask
+
+ACT = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "swish": jax.nn.silu,
+    "silu": jax.nn.silu,
+    "identity": lambda x: x,
+}
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+@dataclasses.dataclass
+class EncoderOutput:
+    last_hidden_state: jnp.ndarray
+    lengths: jnp.ndarray
+    hidden_states: Optional[Tuple[jnp.ndarray, ...]] = None
+    extract_features: Optional[jnp.ndarray] = None
+
+
+@dataclasses.dataclass
+class CTCOutput:
+    logits: jnp.ndarray
+    logit_lengths: jnp.ndarray
+    loss: Optional[jnp.ndarray] = None
+    hidden_states: Optional[Tuple[jnp.ndarray, ...]] = None
+
+
+def feat_extract_output_lengths(config: EBranchformerConfig, input_lengths):
+    """Frame count after the 2-D conv stack (reference extractors.py:133-162)."""
+    lengths = input_lengths
+    for k, s, p in zip(config.conv_kernel, config.conv_stride, config.conv_padding):
+        pad = (k - 1) if config.is_causal else 2 * p
+        lengths = conv_output_length(lengths + pad, k, s, padding=0)
+    return lengths
+
+
+class Conv2dFeatureExtractor(nn.Module):
+    """Stack of 2-D convs over (B, T, F) mel input + flatten + Linear → hidden."""
+
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        act = ACT[cfg.feat_extract_activation]
+        x = features[..., None].astype(self.dtype)  # (B, T, F, 1) NHWC
+        for i, (out_ch, k, s, p) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride, cfg.conv_padding)
+        ):
+            pad = [(k - 1, 0), (k - 1, 0)] if cfg.is_causal else [(p, p), (p, p)]
+            conv = nn.Conv(
+                out_ch, (k, k), strides=(s, s), padding=pad, dtype=self.dtype,
+                name=f"conv_{i}",
+            )
+            if cfg.context_awareness_type == "gated":
+                gate = nn.Conv(
+                    out_ch, (k, k), strides=(s, s), padding=pad, dtype=self.dtype,
+                    name=f"gate_{i}",
+                )
+                x = conv(x) * jax.nn.sigmoid(gate(x))
+            else:
+                x = conv(x)
+            x = act(x)
+        # (B, T', F', C) -> (B, T', C*F') with channel-major order to match
+        # the reference's flatten of (B, T', C, F').
+        B, T, F, C = x.shape
+        x = x.transpose(0, 1, 3, 2).reshape(B, T, C * F)
+        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(x)
+
+
+class FeatureProjection(nn.Module):
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        norm = nn.LayerNorm(epsilon=self.config.layer_norm_eps, dtype=self.dtype,
+                            name="layer_norm")(x)
+        proj = nn.Dense(self.config.hidden_size, dtype=self.dtype, name="projection")(norm)
+        proj = nn.Dropout(self.config.feat_proj_dropout)(proj, deterministic=deterministic)
+        return proj, norm
+
+
+def relative_positional_embeddings(seq_len: int, d_model: int, dtype=jnp.float32):
+    """Transformer-XL table: positions T-1 .. -(T-1), shape (2T-1, d_model)."""
+    pos = np.arange(seq_len - 1, -seq_len, -1, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(np.log(10000.0) / d_model))
+    table = np.zeros((2 * seq_len - 1, d_model), dtype=np.float64)
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div)
+    return jnp.asarray(table, dtype=dtype)
+
+
+def rotary_cos_sin(seq_len: int, head_size: int, base: int = 10000, dtype=jnp.float32):
+    inv = 1.0 / (base ** (np.arange(0, head_size, 2, dtype=np.float64) / head_size))
+    freqs = np.outer(np.arange(seq_len, dtype=np.float64), inv)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return jnp.asarray(np.cos(emb), dtype), jnp.asarray(np.sin(emb), dtype)
+
+
+def _rel_shift(scores_bd: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL shift: (B, H, T, 2T-1) -> (B, H, T, T)."""
+    B, H, T, L = scores_bd.shape
+    padded = jnp.pad(scores_bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    padded = padded.reshape(B, H, L + 1, T)
+    shifted = padded[:, :, 1:].reshape(B, H, T, L)
+    return shifted[..., : L // 2 + 1]
+
+
+class EBranchformerSelfAttention(nn.Module):
+    """Multi-head self-attention with relative/rotary positions + causal option."""
+
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, pos_emb=None, deterministic=True):
+        cfg = self.config
+        B, T, D = x.shape
+        H, dh = cfg.num_attention_heads, cfg.head_size
+
+        qk_in = x
+        if cfg.position_embeddings_type == "rotary":
+            cos, sin = pos_emb
+            h = x.reshape(B, T, H, dh)
+            h1, h2 = h[..., : dh // 2], h[..., dh // 2 :]
+            rotated = jnp.concatenate([-h2, h1], axis=-1)
+            qk_in = (h * cos[None, :, None, :] + rotated * sin[None, :, None, :]).reshape(B, T, D)
+
+        q = nn.Dense(D, dtype=self.dtype, name="linear_q")(qk_in).reshape(B, T, H, dh)
+        k = nn.Dense(D, dtype=self.dtype, name="linear_k")(qk_in).reshape(B, T, H, dh)
+        v = nn.Dense(D, dtype=self.dtype, name="linear_v")(x).reshape(B, T, H, dh)
+
+        if cfg.position_embeddings_type == "relative":
+            pos = nn.Dense(D, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb)
+            pos = pos.reshape(-1, H, dh)  # (2T-1, H, dh)
+            bias_u = self.param("pos_bias_u", nn.initializers.zeros, (H, dh), jnp.float32)
+            bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, dh), jnp.float32)
+            q_u = q + bias_u.astype(self.dtype)
+            q_v = q + bias_v.astype(self.dtype)
+            scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
+            scores_bd = jnp.einsum("bthd,lhd->bhtl", q_v, pos)
+            scores = (scores_ac + _rel_shift(scores_bd)) / jnp.sqrt(dh).astype(self.dtype)
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(dh).astype(self.dtype)
+
+        scores = scores.astype(jnp.float32)
+        if cfg.is_causal:
+            causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+            scores = jnp.where(causal[None, None], scores, NEG_INF)
+        if attention_bias is not None:
+            scores = scores + attention_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+
+        out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
+        return nn.Dense(D, dtype=self.dtype, name="linear_out")(out)
+
+
+class FeedForward(nn.Module):
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        x = ACT[cfg.hidden_act](x)
+        x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(x)
+        return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+
+
+class ConvolutionalSpatialGatingUnit(nn.Module):
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        n = cfg.intermediate_size // 2
+        x_r, x_g = jnp.split(x, 2, axis=-1)
+        x_g = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x_g)
+        k = cfg.csgu_kernel_size
+        pad = [(k - 1, 0)] if cfg.is_causal else [((k - 1) // 2, (k - 1) // 2)]
+        x_g = nn.Conv(
+            n, (k,), padding=pad, feature_group_count=n, dtype=self.dtype, name="conv"
+        )(x_g)
+        if cfg.csgu_use_linear_after_conv:
+            x_g = nn.Dense(n, dtype=self.dtype, name="linear")(x_g)
+        x_g = ACT[cfg.csgu_activation](x_g)
+        out = x_r * x_g
+        return nn.Dropout(cfg.csgu_conv_dropout)(out, deterministic=deterministic)
+
+
+class ConvolutionalGatingMLP(nn.Module):
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="channel_proj1")(x)
+        x = ACT["gelu"](x)
+        x = ConvolutionalSpatialGatingUnit(cfg, self.dtype, name="csgu")(x, deterministic)
+        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="channel_proj2")(x)
+
+
+class EBranchformerEncoderLayer(nn.Module):
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_bias=None, pos_emb=None, deterministic=True):
+        cfg = self.config
+        drop = lambda h: nn.Dropout(cfg.attention_dropout)(h, deterministic=deterministic)
+
+        if cfg.use_macaron_ff:
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                             name="ff1_layer_norm")(x)
+            x = x + 0.5 * FeedForward(cfg, self.dtype, name="ff1")(h, deterministic)
+
+        residual = x
+        g = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="self_attn_layer_norm")(x)
+        g = EBranchformerSelfAttention(cfg, self.dtype, name="self_attn")(
+            g, attention_bias, pos_emb, deterministic
+        )
+        g = drop(g)
+
+        l = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="cgMLP_layer_norm")(x)
+        l = ConvolutionalGatingMLP(cfg, self.dtype, name="cgMLP")(l, deterministic)
+
+        merged = jnp.concatenate([g, l], axis=-1)
+        k = cfg.merge_conv_kernel
+        pad = [(k - 1, 0)] if cfg.is_causal else [((k - 1) // 2, (k - 1) // 2)]
+        fused = nn.Conv(
+            2 * cfg.hidden_size, (k,), padding=pad,
+            feature_group_count=2 * cfg.hidden_size, dtype=self.dtype,
+            name="depthwise_conv_fusion",
+        )(merged)
+        merged = merged + fused
+        merged = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="merge_proj")(merged)
+        x = residual + drop(merged)
+
+        if cfg.use_macaron_ff:
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                             name="ff2_layer_norm")(x)
+            x = x + 0.5 * FeedForward(cfg, self.dtype, name="ff2")(h, deterministic)
+
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="final_layer_norm")(x)
+
+
+class EBranchformerEncoder(nn.Module):
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True, output_hidden_states=False):
+        cfg = self.config
+        B, T, D = x.shape
+
+        attention_bias = None
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.0)
+            attention_bias = jnp.where(mask, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
+
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+
+        pos_emb = None
+        if cfg.position_embeddings_type == "relative":
+            pos_emb = relative_positional_embeddings(T, D, self.dtype)
+        elif cfg.position_embeddings_type == "rotary":
+            pos_emb = rotary_cos_sin(T, cfg.head_size, cfg.rotary_embedding_base, self.dtype)
+
+        all_hidden = [] if output_hidden_states else None
+        for i in range(cfg.num_hidden_layers):
+            if output_hidden_states:
+                all_hidden.append(x)
+            x = EBranchformerEncoderLayer(cfg, self.dtype, name=f"layers_{i}")(
+                x, attention_bias, pos_emb, deterministic
+            )
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
+        if output_hidden_states:
+            all_hidden.append(x)
+            return x, tuple(all_hidden)
+        return x, None
+
+
+class EBranchformerModel(nn.Module):
+    """FE conv stack → feature projection → encoder (reference e_branchformer.py:325-334)."""
+
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_features: jnp.ndarray,
+        input_lengths: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        output_hidden_states: bool = False,
+        mask_time_indices: Optional[jnp.ndarray] = None,
+        mask_noise: Optional[jnp.ndarray] = None,
+    ) -> EncoderOutput:
+        cfg = self.config
+        B, T_in, _ = input_features.shape
+        if input_lengths is None:
+            input_lengths = jnp.full((B,), T_in, dtype=jnp.int32)
+
+        extract = Conv2dFeatureExtractor(cfg, self.dtype, name="feature_extractor")(
+            input_features
+        )
+        hidden, norm_features = FeatureProjection(cfg, self.dtype, name="feature_projection")(
+            extract, deterministic
+        )
+
+        # SSL masking hook: replace masked frames (BEST-RQ noise or learned emb).
+        if mask_time_indices is not None:
+            if mask_noise is not None:
+                hidden = jnp.where(mask_time_indices[..., None], mask_noise, hidden)
+            else:
+                mask_emb = self.param(
+                    "masked_spec_embed",
+                    nn.initializers.uniform(scale=1.0),
+                    (cfg.hidden_size,),
+                    jnp.float32,
+                )
+                hidden = jnp.where(
+                    mask_time_indices[..., None], mask_emb.astype(self.dtype), hidden
+                )
+
+        out_lengths = feat_extract_output_lengths(cfg, input_lengths).astype(jnp.int32)
+        out_lengths = jnp.clip(out_lengths, 0, hidden.shape[1])
+        mask = lengths_to_mask(out_lengths, hidden.shape[1])
+
+        last, all_hidden = EBranchformerEncoder(cfg, self.dtype, name="encoder")(
+            hidden, mask, deterministic, output_hidden_states
+        )
+        return EncoderOutput(
+            last_hidden_state=last,
+            lengths=out_lengths,
+            hidden_states=all_hidden,
+            extract_features=norm_features,
+        )
+
+
+class EBranchformerForCTC(nn.Module):
+    """CTC model: encoder + vocab head + separate blank projection (last logit)."""
+
+    config: EBranchformerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_features: jnp.ndarray,
+        input_lengths: Optional[jnp.ndarray] = None,
+        labels: Optional[jnp.ndarray] = None,
+        label_lengths: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        output_hidden_states: bool = False,
+    ) -> CTCOutput:
+        cfg = self.config
+        enc = EBranchformerModel(cfg, self.dtype, name="wav2vec2")(
+            input_features, input_lengths, deterministic, output_hidden_states
+        )
+        hidden = nn.Dropout(cfg.final_dropout)(
+            enc.last_hidden_state, deterministic=deterministic
+        )
+        vocab_logits = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="lm_head")(hidden)
+        blank_logit = nn.Dense(1, dtype=self.dtype, name="blank_projection")(hidden)
+        logits = jnp.concatenate([vocab_logits, blank_logit], axis=-1)
+
+        loss = None
+        if labels is not None:
+            loss = ctc_loss_fn(
+                logits.astype(jnp.float32),
+                enc.lengths,
+                labels,
+                label_lengths,
+                blank_id=-1,
+                reduction=cfg.ctc_loss_reduction,
+            )
+        return CTCOutput(
+            logits=logits,
+            logit_lengths=enc.lengths,
+            loss=loss,
+            hidden_states=enc.hidden_states,
+        )
