@@ -1,0 +1,118 @@
+"""Batch assembly: padded fixed-shape numpy batches for the compiled step.
+
+TPU-native rethink of the reference collators (reference:
+src/utilities/collators.py:21-106): instead of CPU-side featurization +
+augmentation in DataLoader workers, the collator pads RAW WAVEFORMS (or
+precomputed mel features) to a quantized length and tokenizes labels; the
+log-mel front end and SpecAugment run inside the compiled train step on TPU.
+Label padding uses explicit ``label_lengths`` (our CTC/attention losses take
+lengths, not -100 sentinels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from huggingface_asr_tpu.data.bucketing import BucketingConfig, quantize_length
+
+
+@dataclasses.dataclass(frozen=True)
+class CollatorConfig:
+    audio_key: str = "audio"
+    text_key: str = "text"
+    sampling_rate: int = 16000
+    bucketing: BucketingConfig = BucketingConfig()
+    label_pad_to_multiple: int = 8
+    max_label_length: Optional[int] = None
+    # Mask tokens matching the UNK token with pad (reference collators.py:97-98).
+    mask_unks: bool = False
+    unk_token_id: Optional[int] = None
+
+
+class SpeechCollator:
+    """Assemble examples into fixed-shape batches.
+
+    Examples are dicts with ``audio`` (1-D float np.ndarray or HF-style
+    {"array": ...}) and optionally ``text`` (str) or ``labels`` (list[int]).
+    ``tokenizer`` is any object with an ``encode(str) -> List[int]`` method
+    (HF tokenizers work as-is).
+    """
+
+    def __init__(self, config: CollatorConfig = CollatorConfig(), tokenizer=None):
+        self.config = config
+        self.tokenizer = tokenizer
+
+    def _audio_array(self, audio) -> np.ndarray:
+        if isinstance(audio, dict):
+            audio = audio.get("array", audio)
+        arr = np.asarray(audio, dtype=np.float32)
+        return np.trim_zeros(arr)
+
+    def _encode(self, text: str) -> List[int]:
+        ids = self.tokenizer.encode(text)
+        if hasattr(ids, "ids"):  # raw `tokenizers` Encoding
+            ids = ids.ids
+        if self.config.max_label_length:
+            ids = ids[: self.config.max_label_length]
+        return list(ids)
+
+    def __call__(self, examples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        audios = [self._audio_array(e[cfg.audio_key]) for e in examples]
+        lengths = np.asarray([len(a) for a in audios], dtype=np.int32)
+        padded_len = quantize_length(int(lengths.max()), cfg.bucketing)
+        B = len(audios)
+        waveforms = np.zeros((B, padded_len), dtype=np.float32)
+        for i, a in enumerate(audios):
+            waveforms[i, : len(a)] = a
+
+        batch = {"input_values": waveforms, "input_values_lengths": lengths}
+
+        label_lists = None
+        if all("labels" in e for e in examples):
+            label_lists = [list(e["labels"]) for e in examples]
+        elif self.tokenizer is not None and all(cfg.text_key in e for e in examples):
+            label_lists = [self._encode(e[cfg.text_key]) for e in examples]
+
+        if label_lists is not None:
+            if cfg.mask_unks and cfg.unk_token_id is not None:
+                pad = 0
+                label_lists = [
+                    [t for t in ids if t != cfg.unk_token_id] for ids in label_lists
+                ]
+            label_lengths = np.asarray([len(l) for l in label_lists], dtype=np.int32)
+            m = cfg.label_pad_to_multiple
+            L = max(int(label_lengths.max()), 1)
+            L = ((L + m - 1) // m) * m
+            labels = np.zeros((B, L), dtype=np.int32)
+            for i, ids in enumerate(label_lists):
+                labels[i, : len(ids)] = ids
+            batch["labels"] = labels
+            batch["label_lengths"] = label_lengths
+        return batch
+
+
+class FeatureCollator(SpeechCollator):
+    """Variant over precomputed mel features (B, T, F) instead of waveforms."""
+
+    def __call__(self, examples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        feats = [np.asarray(e["input_features"], dtype=np.float32) for e in examples]
+        lengths = np.asarray([f.shape[0] for f in feats], dtype=np.int32)
+        padded_len = quantize_length(int(lengths.max()), cfg.bucketing)
+        B, F = len(feats), feats[0].shape[1]
+        out = np.zeros((B, padded_len, F), dtype=np.float32)
+        for i, f in enumerate(feats):
+            out[i, : f.shape[0]] = f
+        batch = {"input_features": out, "input_lengths": lengths}
+
+        text_batch = super().__call__(
+            [{**e, cfg.audio_key: np.zeros(1, np.float32)} for e in examples]
+        )
+        for key in ("labels", "label_lengths"):
+            if key in text_batch:
+                batch[key] = text_batch[key]
+        return batch
