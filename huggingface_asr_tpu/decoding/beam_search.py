@@ -1,0 +1,294 @@
+"""Batched, jit-compiled joint CTC/attention beam search with shallow fusion.
+
+TPU-native re-design of the reference decode stack — HF ``generate()`` beam
+search + ``CTCRescorerLogitsProcessor`` + ``LMRescorerLogitsProcessor``
+(reference: src/models/ctc_encoder_plus_autoregressive_decoder.py:360-482,
+src/decoding/ctc_scorer.py:259-354, src/decoding/shallow_fussion.py:5-53):
+
+    next_token_score = (1 - ctc_weight) * log_softmax(att)
+                       + ctc_weight * ctc_prefix_score
+                       + lm_weight * log_softmax(lm)
+
+The whole search is ONE compiled program: a ``lax.scan`` over decode steps,
+KV-cached decoder (and LM) steps, per-beam candidate top-K, CTC prefix
+scoring as an inner time-scan, and alive/finished beam bookkeeping with HF's
+length-penalty convention (score = sum_logprobs / len(hyp)**penalty, hyp
+including the start token). No host round-trips, static shapes throughout.
+
+Departure from the reference (documented): CTC scores are computed for the
+attention top-K candidates per beam (the reference's partial-scoring mode,
+ctc_scorer.py:94-100) rather than the full vocab, bounding the transient
+state to (T, 2, BW, K); K defaults to 64 and is configurable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from huggingface_asr_tpu.decoding.ctc_prefix import CTCPrefixScorer, CTCPrefixState
+
+NEG_INF = -1.0e9
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchConfig:
+    num_beams: int = 5
+    max_length: int = 128
+    ctc_weight: float = 0.3
+    ctc_margin: int = 0  # reserved (frame windowing) — 0 matches released decode cfg
+    lm_weight: float = 0.0
+    length_penalty: float = 1.0
+    num_candidates: int = 64  # per-beam att top-K scored by CTC
+    bos_token_id: int = 0
+    eos_token_id: int = 1
+    pad_token_id: int = 3
+    blank_id: int = -1  # index into CTC logits; -1 = last
+    # eos-space trick (reference ctc_scorer.py:333-349)
+    apply_eos_space_trick: bool = False
+    space_token_id: int = -1
+    eos_space_trick_weight: float = 1.0
+
+
+class _BeamState(NamedTuple):
+    step: jnp.ndarray
+    alive_tokens: jnp.ndarray  # (B, W, L)
+    alive_scores: jnp.ndarray  # (B, W) sum of log-probs
+    cache: Any  # decoder KV cache, leaves (B*W, ...)
+    lm_cache: Any
+    ctc_state: Optional[CTCPrefixState]
+    finished_tokens: jnp.ndarray  # (B, W, L)
+    finished_scores: jnp.ndarray  # (B, W) length-penalized
+    finished_mask: jnp.ndarray  # (B, W) slot filled
+
+
+def _gather_beams(tree, beam_idx_flat):
+    """Reorder (B*W, ...) pytree leaves by flat beam indices."""
+    return jax.tree.map(
+        lambda x: x[beam_idx_flat] if hasattr(x, "shape") and x.ndim >= 1 and
+        x.shape[0] == beam_idx_flat.shape[0] else x,
+        tree,
+    )
+
+
+def joint_beam_search(
+    decoder_step: Callable[[Any, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, Any]],
+    init_cache: Any,
+    batch_size: int,
+    config: BeamSearchConfig,
+    ctc_log_probs: Optional[jnp.ndarray] = None,  # (B, T, V+1)
+    ctc_lengths: Optional[jnp.ndarray] = None,
+    lm_step: Optional[Callable] = None,
+    init_lm_cache: Any = None,
+    vocab_size: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run beam search.
+
+    decoder_step(cache, tokens (BW,1), positions (BW,)) -> (logits (BW,V), cache)
+    Returns (sequences (B, W, L) sorted best-first incl. bos, scores (B, W)).
+    """
+    cfg = config
+    B, W, K = batch_size, cfg.num_beams, cfg.num_candidates
+    L = cfg.max_length
+    BW = B * W
+
+    use_ctc = cfg.ctc_weight > 0.0 and ctc_log_probs is not None
+    scorer = None
+    if use_ctc:
+        V_ctc = ctc_log_probs.shape[-1]
+        blank = cfg.blank_id % V_ctc
+        scorer = CTCPrefixScorer(ctc_log_probs, ctc_lengths, blank, cfg.eos_token_id)
+        vocab_size = vocab_size or V_ctc - 1
+
+    alive_tokens = jnp.full((B, W, L), cfg.pad_token_id, jnp.int32)
+    alive_tokens = alive_tokens.at[:, :, 0].set(cfg.bos_token_id)
+    alive_scores = jnp.tile(
+        jnp.asarray([0.0] + [NEG_INF] * (W - 1), jnp.float32)[None], (B, 1)
+    )
+
+    state = _BeamState(
+        step=jnp.zeros((), jnp.int32),
+        alive_tokens=alive_tokens,
+        alive_scores=alive_scores,
+        cache=init_cache,
+        lm_cache=init_lm_cache,
+        ctc_state=scorer.init_state(W) if use_ctc else None,
+        finished_tokens=jnp.full((B, W, L), cfg.pad_token_id, jnp.int32),
+        finished_scores=jnp.full((B, W), NEG_INF, jnp.float32),
+        finished_mask=jnp.zeros((B, W), bool),
+    )
+
+    def one_step(state: _BeamState, _):
+        t = state.step
+        last_tokens = jax.lax.dynamic_slice_in_dim(
+            state.alive_tokens.reshape(BW, L), t, 1, axis=1
+        )  # (BW, 1)
+        positions = jnp.full((BW,), t, jnp.int32)
+
+        logits, new_cache = decoder_step(state.cache, last_tokens, positions)
+        att = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (BW, V)
+        if vocab_size is not None and att.shape[-1] > vocab_size:
+            att = att[:, :vocab_size]
+        V = att.shape[-1]
+        # Suppress pad (reference CTCRescorer :325 zeroes pad always).
+        att = att.at[:, cfg.pad_token_id].set(NEG_INF)
+
+        new_lm_cache = state.lm_cache
+        if lm_step is not None and cfg.lm_weight != 0.0:
+            lm_logits, new_lm_cache = lm_step(state.lm_cache, last_tokens, positions)
+            lm = jax.nn.log_softmax(lm_logits.astype(jnp.float32), axis=-1)[:, :V]
+            att = att + cfg.lm_weight * lm
+
+        if use_ctc:
+            # Per-beam candidates = att top-(K-1) ∪ {eos}.
+            cand_scores, cand_ids = jax.lax.top_k(att, K - 1)
+            has_eos = jnp.any(cand_ids == cfg.eos_token_id, axis=-1, keepdims=True)
+            eos_col = jnp.full((BW, 1), cfg.eos_token_id, jnp.int32)
+            cand_ids = jnp.concatenate([cand_ids, eos_col], axis=1)
+            eos_att = att[:, cfg.eos_token_id][:, None]
+            cand_scores = jnp.concatenate(
+                [cand_scores, jnp.where(has_eos, NEG_INF, eos_att)], axis=1
+            )
+            ctc_scores, scored = scorer.score_candidates(state.ctc_state, cand_ids)
+            combined = (1.0 - cfg.ctc_weight) * cand_scores + cfg.ctc_weight * ctc_scores
+
+            if cfg.apply_eos_space_trick:
+                # reference ctc_scorer.py:333-349: when att prefers EOS but
+                # CTC prefers space and the trick-weighted EOS overtakes
+                # space, boost EOS.
+                att_argmax_eos = jnp.argmax(cand_scores, axis=1)
+                ctc_argmax = jnp.take_along_axis(
+                    cand_ids, jnp.argmax(ctc_scores, axis=1)[:, None], axis=1
+                )[:, 0]
+                is_eos_col = cand_ids == cfg.eos_token_id
+                eos_score = jnp.where(is_eos_col, combined, NEG_INF).max(axis=1)
+                space_col = cand_ids == cfg.space_token_id
+                space_score = jnp.where(space_col, combined, NEG_INF).max(axis=1)
+                att_is_eos = jnp.take_along_axis(
+                    cand_ids, att_argmax_eos[:, None], axis=1
+                )[:, 0] == cfg.eos_token_id
+                conflict = (
+                    att_is_eos
+                    & (ctc_argmax == cfg.space_token_id)
+                    & (eos_score < space_score)
+                    & (cfg.eos_space_trick_weight * eos_score > space_score)
+                )
+                combined = jnp.where(
+                    conflict[:, None] & is_eos_col,
+                    combined * cfg.eos_space_trick_weight,
+                    combined,
+                )
+        else:
+            cand_scores, cand_ids = jax.lax.top_k(att, K - 1)
+            has_eos = jnp.any(cand_ids == cfg.eos_token_id, axis=-1, keepdims=True)
+            eos_col = jnp.full((BW, 1), cfg.eos_token_id, jnp.int32)
+            cand_ids = jnp.concatenate([cand_ids, eos_col], axis=1)
+            eos_att = att[:, cfg.eos_token_id][:, None]
+            combined = jnp.concatenate(
+                [cand_scores, jnp.where(has_eos, NEG_INF, eos_att)], axis=1
+            )
+            scored = None
+
+        total = state.alive_scores.reshape(BW, 1) + combined  # (BW, K)
+        total_b = total.reshape(B, W * K)
+
+        # Top 2W candidates so EOS picks don't starve the alive set.
+        top_scores, top_idx = jax.lax.top_k(total_b, 2 * W)  # (B, 2W)
+        beam_of = top_idx // K  # (B, 2W) source beam within batch
+        cand_of = top_idx % K
+        # token ids: cand_ids[b, beam_of, cand_of]
+        tok_of = jnp.take_along_axis(
+            jnp.take_along_axis(
+                cand_ids.reshape(B, W, K), beam_of[..., None], axis=1
+            ),
+            cand_of[..., None],
+            axis=2,
+        )[..., 0]  # (B, 2W)
+        is_eos = tok_of == cfg.eos_token_id
+
+        # ----- update finished set with EOS candidates
+        # length includes bos and the just-emitted eos: t+2
+        lp_len = (t + 2).astype(jnp.float32)
+        fin_cand_scores = jnp.where(
+            is_eos, top_scores / (lp_len ** cfg.length_penalty), NEG_INF
+        )
+        # candidate sequences: source beam tokens + eos at position t+1
+        src_tokens = jnp.take_along_axis(
+            state.alive_tokens, beam_of[..., None], axis=1
+        )  # (B, 2W, L)
+        onehot_t1 = jax.nn.one_hot(t + 1, L, dtype=jnp.int32)
+        fin_cand_tokens = (
+            src_tokens * (1 - onehot_t1)[None, None, :]
+            + onehot_t1[None, None, :] * cfg.eos_token_id
+        )
+        all_fin_scores = jnp.concatenate([state.finished_scores, fin_cand_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([state.finished_tokens, fin_cand_tokens], axis=1)
+        all_fin_mask = jnp.concatenate(
+            [state.finished_mask, is_eos], axis=1
+        )
+        fin_top, fin_idx = jax.lax.top_k(
+            jnp.where(all_fin_mask, all_fin_scores, NEG_INF), W
+        )
+        new_finished_tokens = jnp.take_along_axis(all_fin_tokens, fin_idx[..., None], axis=1)
+        new_finished_scores = fin_top
+        new_finished_mask = jnp.take_along_axis(all_fin_mask, fin_idx, axis=1)
+
+        # ----- new alive set: best W non-EOS candidates
+        alive_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        alv_top, alv_idx = jax.lax.top_k(alive_cand_scores, W)  # (B, W)
+        alv_beam = jnp.take_along_axis(beam_of, alv_idx, axis=1)  # (B, W)
+        alv_cand = jnp.take_along_axis(cand_of, alv_idx, axis=1)
+        alv_tok = jnp.take_along_axis(tok_of, alv_idx, axis=1)
+
+        # carry over source-beam tokens, writing the chosen token at t+1
+        new_alive_tokens = jnp.where(
+            (jnp.arange(L) == (t + 1))[None, None, :],
+            alv_tok[..., None],
+            jnp.take_along_axis(state.alive_tokens, alv_beam[..., None], axis=1),
+        )
+
+        beam_flat = (jnp.arange(B)[:, None] * W + alv_beam).reshape(BW)
+        new_cache = _gather_beams(new_cache, beam_flat)
+        if lm_step is not None and cfg.lm_weight != 0.0:
+            new_lm_cache = _gather_beams(new_lm_cache, beam_flat)
+
+        new_ctc_state = state.ctc_state
+        if use_ctc:
+            new_ctc_state = scorer.select_state(
+                state.ctc_state,
+                scored,
+                beam_flat,
+                alv_cand.reshape(BW),
+                alv_tok.reshape(BW),
+            )
+
+        return (
+            _BeamState(
+                step=t + 1,
+                alive_tokens=new_alive_tokens,
+                alive_scores=alv_top,
+                cache=new_cache,
+                lm_cache=new_lm_cache,
+                ctc_state=new_ctc_state,
+                finished_tokens=new_finished_tokens,
+                finished_scores=new_finished_scores,
+                finished_mask=new_finished_mask,
+            ),
+            None,
+        )
+
+    state, _ = jax.lax.scan(one_step, state, None, length=L - 1)
+
+    # Finalize: fold still-alive beams in for batches with open slots.
+    alive_final = state.alive_scores / (jnp.float32(L) ** cfg.length_penalty)
+    all_scores = jnp.concatenate(
+        [jnp.where(state.finished_mask, state.finished_scores, NEG_INF), alive_final],
+        axis=1,
+    )
+    all_tokens = jnp.concatenate([state.finished_tokens, state.alive_tokens], axis=1)
+    top, idx = jax.lax.top_k(all_scores, W)
+    sequences = jnp.take_along_axis(all_tokens, idx[..., None], axis=1)
+    return sequences, top

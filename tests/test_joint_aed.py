@@ -1,0 +1,146 @@
+"""Joint CTC+attention model and compiled beam search."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from huggingface_asr_tpu.decoding.beam_search import BeamSearchConfig
+from huggingface_asr_tpu.decoding.generate import generate_joint
+from huggingface_asr_tpu.models.configs import EBranchformerConfig
+from huggingface_asr_tpu.models.gpt2_decoder import GPT2DecoderConfig, GPT2MultiHeadDecoder
+from huggingface_asr_tpu.models.joint_ctc_aed import (
+    JointCTCAttentionConfig,
+    JointCTCAttentionEncoderDecoder,
+)
+from huggingface_asr_tpu.ops.lengths import lengths_to_mask
+
+ENC = EBranchformerConfig(
+    hidden_size=48, num_hidden_layers=1, num_attention_heads=2,
+    intermediate_size=96, conv_dim=(8, 8), conv_kernel=(3, 3), conv_stride=(2, 2),
+    conv_padding=(1, 1), vocab_size=40,
+    hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+    csgu_conv_dropout=0.0, final_dropout=0.0,
+)
+DEC = GPT2DecoderConfig(
+    vocab_size=40, n_positions=64, n_embd=32, n_layer=2, n_head=2,
+    head_locations=(1,), head_weights=(0.3, 0.7), lsm_factor=0.1,
+    resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    bos_token_id=0, eos_token_id=1, pad_token_id=3,
+)
+JOINT = JointCTCAttentionConfig(encoder=ENC, decoder=DEC, ctc_weight=0.3)
+
+
+@pytest.fixture(scope="module")
+def joint_model():
+    model = JointCTCAttentionEncoderDecoder(JOINT)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 80, 80)), jnp.float32)
+    lens = jnp.asarray([80, 60])
+    labels = jnp.asarray(rng.integers(4, 40, (2, 10)), jnp.int32)
+    labels = labels.at[:, -1].set(1)  # eos
+    label_lens = jnp.asarray([10, 7])
+    params = model.init(
+        jax.random.key(0), feats, lens, labels=labels, label_lengths=label_lens
+    )["params"]
+    return model, params, feats, lens, labels, label_lens
+
+
+def test_joint_loss_composition(joint_model):
+    model, params, feats, lens, labels, label_lens = joint_model
+    out = model.apply(
+        {"params": params}, feats, lens, labels=labels, label_lengths=label_lens
+    )
+    assert np.isfinite(float(out.loss))
+    np.testing.assert_allclose(
+        float(out.loss),
+        0.3 * float(out.enc_loss) + 0.7 * float(out.dec_loss),
+        rtol=1e-6,
+    )
+    assert out.encoder_logits.shape[-1] == ENC.vocab_size + 1
+    assert out.encoder_hidden.shape[-1] == DEC.n_embd  # projected
+
+
+def test_incremental_decode_matches_full_forward():
+    """KV-cached step-by-step logits == full-sequence forward logits."""
+    dec = GPT2MultiHeadDecoder(DEC)
+    rng = np.random.default_rng(1)
+    B, T, S = 2, 6, 11
+    tokens = jnp.asarray(rng.integers(0, 40, (B, T)), jnp.int32)
+    enc_hidden = jnp.asarray(rng.standard_normal((B, S, 32)), jnp.float32)
+    enc_lens = jnp.asarray([11, 7])
+    labels_mask = jnp.ones((B, T), bool)
+    params = dec.init(
+        jax.random.key(0), tokens, encoder_hidden=enc_hidden,
+        encoder_lengths=enc_lens, labels=tokens, label_mask=labels_mask,
+    )["params"]
+
+    full = dec.apply(
+        {"params": params}, tokens, encoder_hidden=enc_hidden, encoder_lengths=enc_lens
+    ).logits
+
+    dec_inc = GPT2MultiHeadDecoder(DEC, decode_max_length=T)
+    cache = dec_inc.init(
+        jax.random.key(0), tokens[:, :1], encoder_hidden=enc_hidden,
+        encoder_lengths=enc_lens, decode=True,
+        position_offset=jnp.zeros((B,), jnp.int32),
+    )["cache"]
+    outs = []
+    for t in range(T):
+        out, vars_out = dec_inc.apply(
+            {"params": params, "cache": cache},
+            tokens[:, t : t + 1],
+            encoder_hidden=enc_hidden,
+            encoder_lengths=enc_lens,
+            decode=True,
+            position_offset=jnp.full((B,), t, jnp.int32),
+            mutable=["cache"],
+        )
+        cache = vars_out["cache"]
+        outs.append(out.logits[:, 0])
+    inc = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full), rtol=2e-4, atol=2e-4)
+
+
+def test_beam_search_runs_and_is_sane(joint_model):
+    model, params, feats, lens, *_ = joint_model
+    cfg = BeamSearchConfig(
+        num_beams=3, max_length=12, ctc_weight=0.3, num_candidates=16,
+        bos_token_id=0, eos_token_id=1, pad_token_id=3,
+    )
+    seqs, scores = generate_joint(model, params, feats, lens, cfg)
+    assert seqs.shape == (2, 3, 12)
+    assert np.all(np.asarray(seqs[:, :, 0]) == 0)  # bos first
+    s = np.asarray(scores)
+    assert np.all(s[:, 0] + 1e-6 >= s[:, 1])  # sorted best-first
+    assert np.all(np.isfinite(s[:, 0]))
+    # no token after the first eos other than eos/pad
+    seq = np.asarray(seqs)
+    for b in range(2):
+        for w in range(3):
+            row = seq[b, w]
+            if 1 in row[1:]:
+                e = list(row[1:]).index(1) + 1
+                assert all(t in (1, 3) for t in row[e + 1:]), row
+
+
+def test_beam_search_attention_only(joint_model):
+    model, params, feats, lens, *_ = joint_model
+    cfg = BeamSearchConfig(
+        num_beams=2, max_length=10, ctc_weight=0.0, num_candidates=8,
+        bos_token_id=0, eos_token_id=1, pad_token_id=3,
+    )
+    seqs, scores = generate_joint(model, params, feats, lens, cfg)
+    assert seqs.shape == (2, 2, 10)
+    assert np.all(np.isfinite(np.asarray(scores)[:, 0]))
+
+
+def test_beam_search_jit_compiles(joint_model):
+    model, params, feats, lens, *_ = joint_model
+    cfg = BeamSearchConfig(
+        num_beams=2, max_length=8, ctc_weight=0.3, num_candidates=8,
+    )
+    f = jax.jit(lambda p, x, l: generate_joint(model, p, x, l, cfg))
+    seqs, scores = f(params, feats, lens)
+    assert seqs.shape == (2, 2, 8)
