@@ -83,6 +83,17 @@ class EBranchformerConfig:
     diversity_loss_weight: float = 0.1
     feat_quantizer_dropout: float = 0.0
 
+    # BEST-RQ (reference src/models/bestrq.py:31-41)
+    best_rq_codebook_size: int = 8192
+    best_rq_codebook_dim: int = 16
+    best_rq_num_books: int = 1
+    best_rq_in_dim: int = 320  # stacked mel frames per encoder frame
+
+    # BEST-RQ fine-tuning adapters (reference bestrq.py:155-168)
+    finetune_with_additional_layer: bool = False
+    finetune_with_layer_mixing: bool = False
+    freeze_norm_for_finetunning: bool = False
+
     @property
     def head_size(self) -> int:
         return self.hidden_size // self.num_attention_heads

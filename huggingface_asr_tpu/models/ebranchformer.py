@@ -402,12 +402,47 @@ class EBranchformerForCTC(nn.Module):
         output_hidden_states: bool = False,
     ) -> CTCOutput:
         cfg = self.config
+        need_hidden = output_hidden_states or cfg.finetune_with_layer_mixing
         enc = EBranchformerModel(cfg, self.dtype, name="wav2vec2")(
-            input_features, input_lengths, deterministic, output_hidden_states
+            input_features, input_lengths, deterministic, need_hidden
         )
-        hidden = nn.Dropout(cfg.final_dropout)(
-            enc.last_hidden_state, deterministic=deterministic
-        )
+
+        if cfg.finetune_with_layer_mixing:
+            # Learned per-layer weighted sum of hidden states (reference
+            # bestrq.py:239-243): softmax over num_hidden_layers+1 weights
+            # initialized to select the last layer.
+            init = np.zeros(cfg.num_hidden_layers + 1, np.float32)
+            init[-1] = 1.0
+            w = self.param("per_layer_weights", lambda *_: jnp.asarray(init))
+            stacked = jnp.stack(enc.hidden_states, axis=0)
+            mix = jax.nn.softmax(w.astype(jnp.float32))[:, None, None, None]
+            hidden_mixed = jnp.sum(stacked.astype(jnp.float32) * mix, axis=0).astype(
+                self.dtype
+            )
+        else:
+            hidden_mixed = enc.last_hidden_state
+
+        if cfg.finetune_with_additional_layer:
+            # Extra trainable E-Branchformer layer on top of the (frozen) SSL
+            # body (reference bestrq.py:247-275).
+            T_enc = hidden_mixed.shape[1]
+            mask = lengths_to_mask(enc.lengths, T_enc)
+            h = jnp.where(mask[..., None], hidden_mixed, 0.0)
+            bias = jnp.where(mask, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
+            pos_emb = None
+            if cfg.position_embeddings_type == "relative":
+                pos_emb = relative_positional_embeddings(
+                    T_enc, cfg.hidden_size, self.dtype
+                )
+            elif cfg.position_embeddings_type == "rotary":
+                pos_emb = rotary_cos_sin(
+                    T_enc, cfg.head_size, cfg.rotary_embedding_base, self.dtype
+                )
+            hidden_mixed = EBranchformerEncoderLayer(
+                cfg, self.dtype, name="additional_layer"
+            )(h, bias, pos_emb, deterministic)
+
+        hidden = nn.Dropout(cfg.final_dropout)(hidden_mixed, deterministic=deterministic)
         vocab_logits = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="lm_head")(hidden)
         blank_logit = nn.Dense(1, dtype=self.dtype, name="blank_projection")(hidden)
         logits = jnp.concatenate([vocab_logits, blank_logit], axis=-1)
@@ -426,5 +461,5 @@ class EBranchformerForCTC(nn.Module):
             logits=logits,
             logit_lengths=enc.lengths,
             loss=loss,
-            hidden_states=enc.hidden_states,
+            hidden_states=enc.hidden_states if output_hidden_states else None,
         )
