@@ -1,0 +1,85 @@
+"""Shared glue for the CLI entry points (reference: src/trainers/*)."""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import os
+from typing import Callable, Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from huggingface_asr_tpu.data.bucketing import BucketedBatchSampler, BucketingConfig
+from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logging(output_dir: Optional[str] = None, level=logging.INFO):
+    handlers = [logging.StreamHandler()]
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        handlers.append(logging.FileHandler(os.path.join(output_dir, "train.log")))
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def load_tokenizer(name_or_path: str):
+    """Load an HF fast tokenizer from a local dir/file or the hub."""
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(name_or_path)
+
+
+def tokenizer_ids(tokenizer) -> Dict[str, int]:
+    return {
+        "bos": tokenizer.bos_token_id if tokenizer.bos_token_id is not None else 0,
+        "eos": tokenizer.eos_token_id if tokenizer.eos_token_id is not None else 1,
+        "pad": tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 3,
+        "unk": tokenizer.unk_token_id,
+        "vocab_size": len(tokenizer),
+    }
+
+
+def dataset_lengths(dataset, length_column: str) -> np.ndarray:
+    if length_column in dataset.column_names:
+        return np.asarray(dataset[length_column], dtype=np.float64)
+    raise KeyError(f"dataset lacks length column {length_column}")
+
+
+def epoch_iterator(
+    dataset,
+    sampler: BucketedBatchSampler,
+    collator: SpeechCollator,
+    max_steps: Optional[int] = None,
+    extra_fn: Optional[Callable[[dict], dict]] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite (or max_steps-bounded) epoch-cycling batch iterator."""
+    step = 0
+    for epoch in itertools.count():
+        for idx in sampler.epoch_batches(epoch):
+            batch = collator([dataset[int(i)] for i in idx])
+            if extra_fn is not None:
+                batch = extra_fn(batch)
+            yield batch
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                return
+
+
+def eval_batches(
+    dataset,
+    collator: SpeechCollator,
+    batch_size: int,
+) -> Iterator[Dict[str, np.ndarray]]:
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        yield collator([dataset[i] for i in range(start, min(start + batch_size, n))])
+
+
+def split_references(dataset, text_column: str) -> List[str]:
+    return list(dataset[text_column])

@@ -1,0 +1,216 @@
+"""AED (DeCRED/ED) training entry point (reference:
+src/trainers/train_enc_dec_asr.py).
+
+Joint CTC+attention training with enc/dec loss tracking, periodic beam-search
+WER eval, and final joint-decoding evaluation across test splits (optionally
+with n-best dumping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+
+import jax
+import numpy as np
+
+from huggingface_asr_tpu.cli.common import (
+    epoch_iterator,
+    eval_batches,
+    load_tokenizer,
+    setup_logging,
+    split_references,
+    tokenizer_ids,
+)
+from huggingface_asr_tpu.cli.train_ctc import build_trainer_config
+from huggingface_asr_tpu.data.bucketing import BucketedBatchSampler, BucketingConfig
+from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
+from huggingface_asr_tpu.data.datasets import DataConfig, get_dataset
+from huggingface_asr_tpu.decoding.beam_search import BeamSearchConfig
+from huggingface_asr_tpu.decoding.generate import generate_joint
+from huggingface_asr_tpu.models.configs import EBranchformerConfig, parse_dtype
+from huggingface_asr_tpu.models.gpt2_decoder import GPT2DecoderConfig
+from huggingface_asr_tpu.models.joint_ctc_aed import JointCTCAttentionConfig
+from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
+from huggingface_asr_tpu.training.arguments import (
+    GeneralTrainingArguments,
+    GenerationArguments,
+    ModelArguments,
+)
+from huggingface_asr_tpu.training.loop import JointTrainer
+from huggingface_asr_tpu.training.model_factory import (
+    apply_config_overrides,
+    instantiate_aed_model,
+    load_params,
+    save_params,
+)
+from huggingface_asr_tpu.utils.argparsing import DataclassArgumentParser, parse_override_string
+from huggingface_asr_tpu.utils.eval_utils import evaluate_splits, get_metrics, save_nbests
+from huggingface_asr_tpu.utils.logging_utils import MetricsLogger
+
+logger = logging.getLogger(__name__)
+
+
+def build_generation_config(gen_args: GenerationArguments, ids) -> BeamSearchConfig:
+    return BeamSearchConfig(
+        num_beams=max(gen_args.num_beams, 1),
+        max_length=gen_args.max_length,
+        ctc_weight=gen_args.ctc_weight,
+        ctc_margin=gen_args.ctc_margin,
+        lm_weight=gen_args.lm_weight,
+        length_penalty=gen_args.length_penalty,
+        num_candidates=gen_args.num_candidates,
+        bos_token_id=ids["bos"],
+        eos_token_id=ids["eos"],
+        pad_token_id=ids["pad"],
+        apply_eos_space_trick=gen_args.apply_eos_space_trick,
+        space_token_id=gen_args.space_token_id,
+        eos_space_trick_weight=gen_args.eos_space_trick_weight,
+    )
+
+
+def main(argv=None):
+    parser = DataclassArgumentParser(
+        [ModelArguments, GeneralTrainingArguments, GenerationArguments, DataConfig]
+    )
+    model_args, training, gen_args, data_cfg = parser.parse_args_into_dataclasses(argv)
+    setup_logging(training.output_dir)
+
+    dataset = get_dataset(data_cfg)
+    tokenizer = load_tokenizer(model_args.tokenizer_name)
+    ids = tokenizer_ids(tokenizer)
+
+    if model_args.model_config:
+        with open(model_args.model_config) as f:
+            raw = json.load(f)
+        enc_cfg = EBranchformerConfig.from_dict(
+            {**raw.get("encoder", {}), "vocab_size": ids["vocab_size"]}
+        )
+        dec_cfg = GPT2DecoderConfig(**{
+            **raw.get("decoder", {}),
+            "vocab_size": ids["vocab_size"],
+            "bos_token_id": ids["bos"],
+            "eos_token_id": ids["eos"],
+            "pad_token_id": ids["pad"],
+            "lsm_factor": model_args.lsm_factor,
+            "pos_emb_fixed": model_args.decoder_pos_emb_fixed,
+        })
+    else:
+        enc_cfg = EBranchformerConfig(vocab_size=ids["vocab_size"])
+        dec_cfg = GPT2DecoderConfig(
+            vocab_size=ids["vocab_size"], bos_token_id=ids["bos"],
+            eos_token_id=ids["eos"], pad_token_id=ids["pad"],
+            lsm_factor=model_args.lsm_factor,
+            pos_emb_fixed=model_args.decoder_pos_emb_fixed,
+        )
+    config = JointCTCAttentionConfig(
+        encoder=enc_cfg,
+        decoder=dec_cfg,
+        ctc_weight=model_args.ctc_weight,
+        shared_lm_head=model_args.shared_lm_head,
+        decoder_start_token_id=ids["bos"],
+        pad_token_id=ids["pad"],
+    )
+    if model_args.config_overrides:
+        overrides = dict(p.split("=", 1) for p in model_args.config_overrides.split(";"))
+        config = apply_config_overrides(config, overrides)
+
+    model, params = instantiate_aed_model(
+        config,
+        from_pretrained=model_args.from_pretrained,
+        dtype=parse_dtype(model_args.dtype),
+    )
+
+    frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.encoder.num_fbanks))
+    trainer = JointTrainer(model, build_trainer_config(training), frontend=frontend)
+
+    collator = SpeechCollator(
+        CollatorConfig(
+            bucketing=BucketingConfig(
+                batch_size=training.per_device_train_batch_size,
+                pad_to_multiple=training.pad_to_multiple * 160,
+            )
+        ),
+        tokenizer=tokenizer,
+    )
+    train_ds = dataset[data_cfg.train_split]
+    sampler = BucketedBatchSampler(
+        np.asarray(train_ds[data_cfg.length_column_name], dtype=np.float64),
+        BucketingConfig(batch_size=training.per_device_train_batch_size, seed=training.seed),
+        num_hosts=jax.process_count(),
+        host_id=jax.process_index(),
+    )
+
+    example = collator([train_ds[0]] * 2)
+    state = trainer.make_state(params) if params is not None else trainer.init_state(example)
+    if training.restart_from:
+        state = trainer.restore_checkpoint(state, None)
+
+    metrics_logger = MetricsLogger(training.output_dir, use_wandb=training.report_to_wandb)
+
+    def eval_fn(state):
+        val = dataset.get(data_cfg.validation_split)
+        if val is None:
+            return {}
+        losses = []
+        for batch in eval_batches(val, collator, training.per_device_eval_batch_size):
+            out = jax.device_get(trainer.eval_step(state.params, batch))
+            losses.append(float(out["loss"]))
+        return {"loss": float(np.mean(losses))}
+
+    train_iter = epoch_iterator(train_ds, sampler, collator, max_steps=training.max_steps)
+    state = trainer.fit(state, train_iter, eval_fn=eval_fn, hooks=[metrics_logger.log])
+    trainer.save_checkpoint(state)
+    save_params(
+        jax.device_get(state.params), os.path.join(training.output_dir, "final"), config
+    )
+
+    # ---- final joint-decoding evaluation
+    gen_cfg = build_generation_config(gen_args, ids)
+    if gen_args.override_for_evaluation:
+        gen_cfg = parse_override_string(gen_args.override_for_evaluation, gen_cfg)
+
+    decode = jax.jit(
+        lambda p, feats, lens: generate_joint(model, p, feats, lens, gen_cfg)
+    )
+    frontend_fn = jax.jit(frontend.__call__)
+
+    def decode_batch(batch):
+        feats, lens = frontend_fn(batch["input_values"], batch["input_values_lengths"])
+        seqs, scores = jax.device_get(decode(state.params, feats, lens))
+        best = [
+            tokenizer.decode([int(t) for t in row[0]], skip_special_tokens=True)
+            for row in seqs
+        ]
+        nbest = [
+            [tokenizer.decode([int(t) for t in row[w]], skip_special_tokens=True)
+             for w in range(seqs.shape[1])]
+            for row in seqs
+        ] if gen_args.save_nbest else None
+        return best, nbest
+
+    test_splits = {
+        name: ds for name, ds in dataset.items()
+        if name not in (data_cfg.train_split, data_cfg.validation_split)
+    }
+    normalizer = None
+    if gen_args.post_process_predictions:
+        from huggingface_asr_tpu.utils.normalizer import EnglishNormalizer
+
+        normalizer = EnglishNormalizer()
+    results = evaluate_splits(
+        decode_batch,
+        {n: eval_batches(ds, collator, training.per_device_eval_batch_size)
+         for n, ds in test_splits.items()},
+        {n: split_references(ds, data_cfg.text_column_name) for n, ds in test_splits.items()},
+        output_dir=training.output_dir,
+        normalizer=normalizer,
+    )
+    metrics_logger.close()
+    return results
+
+
+if __name__ == "__main__":
+    main()

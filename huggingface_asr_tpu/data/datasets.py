@@ -50,6 +50,7 @@ class DataConfig:
     preprocessing_num_workers: int = 4
     writer_batch_size: int = 500
     load_from_disk: bool = False
+    do_resample: bool = True  # cast audio column to target rate (needs codec)
     split_long_segments_to_chunks: bool = False
     reshuffle_at_start: bool = False
     do_lower_case: bool = False
@@ -300,7 +301,7 @@ def load_multiple_datasets(config: DataConfig):
             config=local_cfg,
             train_split=train_split,
             text_transformations=corpus.get("text_transformations"),
-            do_resample=True,
+            do_resample=config.do_resample,
             dataset_name=name,
         )
 
@@ -383,7 +384,7 @@ def get_dataset(config: DataConfig):
             config=config,
             train_split=config.train_split,
             text_transformations=transformations,
-            do_resample=True,
+            do_resample=config.do_resample,
             dataset_name=config.dataset_name or "",
         )
 

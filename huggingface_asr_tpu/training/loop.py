@@ -1,11 +1,20 @@
 """Training orchestration: pjit train/eval steps over a device mesh.
 
 TPU-native re-design of the reference's Trainer subclasses (reference:
-src/utilities/training_utils.py): the whole step — optional on-device
-log-mel featurization, SpecAugment, forward, CTC loss, backward, anomaly
-guard, optimizer update — is ONE compiled XLA program, sharded over the
-``data`` axis of a `jax.sharding.Mesh`. Gradient sync is the XLA psum
-inserted from sharding annotations; no DDP wrapper exists or is needed.
+src/utilities/training_utils.py:41-407): the whole step — optional on-device
+log-mel featurization, SpecAugment, forward, loss, backward, anomaly guard,
+optimizer update — is ONE compiled XLA program, sharded over the ``data``
+axis of a `jax.sharding.Mesh`. Gradient sync is the XLA all-reduce inserted
+from sharding annotations; no DDP wrapper exists or is needed.
+
+Trainers:
+  * CTCTrainer        — EBranchformerForCTC (reference stock Trainer +
+                        GradAwareTrainer guards)
+  * JointTrainer      — DeCRED/ED with enc/dec loss tracking (reference
+                        AdditionalLossTrackerTrainer/CustomSeq2SeqTrainer)
+  * BestRQTrainer     — BEST-RQ SSL, loss ÷ masked count + stats
+  * Wav2Vec2SSLTrainer— contrastive SSL with Gumbel temperature decay
+                        (reference SSLTrainer + GumbelTemperatureCallback)
 """
 
 from __future__ import annotations
@@ -20,8 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from huggingface_asr_tpu.models.bestrq import BestRQForPreTraining
 from huggingface_asr_tpu.models.ebranchformer import EBranchformerForCTC
+from huggingface_asr_tpu.models.joint_ctc_aed import JointCTCAttentionEncoderDecoder
+from huggingface_asr_tpu.models.wav2vec2_ssl import Wav2Vec2ForPreTraining
 from huggingface_asr_tpu.ops.ctc import ctc_greedy_decode
+from huggingface_asr_tpu.ops.features import LogMelFrontEnd
 from huggingface_asr_tpu.ops.spec_augment import SpecAugmentConfig, spec_augment
 from huggingface_asr_tpu.parallel.mesh import MeshConfig, batch_sharding, make_mesh, param_sharding
 from huggingface_asr_tpu.training.optim import OptimizerConfig, make_optimizer
@@ -46,52 +59,69 @@ class TrainerConfig:
     early_stopping_patience: int = 0  # 0 = disabled
     greater_is_better: bool = False
     metric_for_best: str = "eval_loss"
+    # SSL (reference GumbelTemperatureCallback, callbacks.py:32-49)
+    gumbel_temperature_start: float = 2.0
+    gumbel_temperature_end: float = 0.5
+    gumbel_temperature_decay: float = 0.999995
 
 
-class CTCTrainer:
-    """Trainer for CTC encoder models over padded mel-feature batches.
-
-    Batches are dicts of numpy arrays:
-      input_features (B, T, F) float32, input_lengths (B,) int32,
-      labels (B, L) int32, label_lengths (B,) int32.
-    """
+class BaseTrainer:
+    """Shared mesh/optimizer/state/fit/checkpoint machinery."""
 
     def __init__(
         self,
-        model: EBranchformerForCTC,
+        model,
         config: TrainerConfig = TrainerConfig(),
         mesh=None,
+        frontend: Optional[LogMelFrontEnd] = None,
     ):
         self.model = model
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
         self.tx = make_optimizer(config.optimizer)
+        self.frontend = frontend
         self._train_step = None
         self._eval_step = None
         self._ckpt_mgr = None
 
-    # ------------------------------------------------------------------ setup
-    def init_state(self, example_batch: Dict[str, np.ndarray]) -> AsrTrainState:
+    # --------------------------------------------------------------- model fns
+    def _featurize(self, batch: Dict[str, jnp.ndarray]):
+        """Waveform batches are featurized ON DEVICE inside the step."""
+        if "input_features" in batch:
+            return batch["input_features"], batch["input_lengths"]
+        feats, lengths = self.frontend(
+            batch["input_values"], batch["input_values_lengths"]
+        )
+        return feats, lengths
+
+    def _init_args(self, batch):
+        feats, lengths = (
+            (jnp.asarray(batch["input_features"]), jnp.asarray(batch["input_lengths"]))
+            if "input_features" in batch
+            else self.frontend(
+                jnp.asarray(batch["input_values"]),
+                jnp.asarray(batch["input_values_lengths"]),
+            )
+        )
+        return (feats, lengths), {}
+
+    def init_params(self, example_batch) -> Any:
         rng = jax.random.key(self.config.seed)
-        init_rng, dropout_rng = jax.random.split(rng)
-        params = self.model.init(
-            init_rng,
-            jnp.asarray(example_batch["input_features"]),
-            jnp.asarray(example_batch["input_lengths"]),
-        )["params"]
+        args, kwargs = self._init_args(example_batch)
+        return self.model.init(rng, *args, **kwargs)["params"]
+
+    def init_state(self, example_batch) -> AsrTrainState:
+        params = self.init_params(example_batch)
+        return self.make_state(params)
+
+    def make_state(self, params) -> AsrTrainState:
+        _, dropout_rng = jax.random.split(jax.random.key(self.config.seed))
         state = AsrTrainState.create_with_guards(
             apply_fn=self.model.apply, params=params, tx=self.tx, dropout_rng=dropout_rng
         )
-        # Place state on the mesh (replicated or FSDP).
-        shardings = self.state_shardings(state)
-        return jax.device_put(state, shardings)
+        return jax.device_put(state, self.state_shardings(state))
 
     def state_shardings(self, state: AsrTrainState):
-        """Sharding pytree for the whole train state.
-
-        A single shape-driven rule covers params AND optimizer moments (mu/nu
-        mirror the param shapes, so FSDP sharding applies to them uniformly).
-        """
         from huggingface_asr_tpu.parallel.mesh import fsdp_spec
 
         repl = NamedSharding(self.mesh, P())
@@ -108,34 +138,35 @@ class CTCTrainer:
 
         return jax.tree.map(leaf_sharding, state)
 
+    # ------------------------------------------------------- subclass hooks
+    def loss_and_metrics(self, params, batch, step_rng, dropout_rng, step):
+        raise NotImplementedError
+
+    def eval_outputs(self, params, batch):
+        raise NotImplementedError
+
+    def batch_shardings(self, batch):
+        def spec(x):
+            return NamedSharding(
+                self.mesh, P("data", *([None] * (np.ndim(x) - 1)))
+            )
+
+        return {k: spec(v) for k, v in batch.items()}
+
     # ------------------------------------------------------------- step fns
-    def _build_train_step(self):
+    def _build_train_step(self, example_batch):
         cfg = self.config
-        model = self.model
 
         def train_step(state: AsrTrainState, batch):
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
             aug_rng, dropout_rng = jax.random.split(step_rng)
 
-            feats = batch["input_features"]
-            if cfg.spec_augment is not None:
-                feats = spec_augment(
-                    aug_rng, feats, batch["input_lengths"], cfg.spec_augment
-                )
-
             def loss_fn(params):
-                out = model.apply(
-                    {"params": params},
-                    feats,
-                    batch["input_lengths"],
-                    labels=batch["labels"],
-                    label_lengths=batch["label_lengths"],
-                    deterministic=False,
-                    rngs={"dropout": dropout_rng},
+                return self.loss_and_metrics(
+                    params, batch, aug_rng, dropout_rng, state.step
                 )
-                return out.loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             new_state, gnorm, ok = state.apply_gradients_guarded(
                 grads=grads, max_grad_norm_guard=cfg.max_grad_norm_guard
             )
@@ -144,15 +175,18 @@ class CTCTrainer:
                 "grad_norm": gnorm,
                 "step_applied": ok.astype(jnp.int32),
                 "skipped_steps": new_state.skipped_steps,
+                **aux,
             }
             return new_state, metrics
 
-        batch_spec = {
-            "input_features": batch_sharding(self.mesh, 3),
-            "input_lengths": batch_sharding(self.mesh, 1),
-            "labels": batch_sharding(self.mesh, 2),
-            "label_lengths": batch_sharding(self.mesh, 1),
-        }
+        n_data = self.mesh.shape["data"]
+        bs = next(iter(example_batch.values())).shape[0]
+        if bs % n_data != 0:
+            raise ValueError(
+                f"batch size {bs} must be divisible by the data-mesh size "
+                f"{n_data} (shard the global batch across devices)"
+            )
+        batch_spec = self.batch_shardings(example_batch)
         repl = NamedSharding(self.mesh, P())
         return jax.jit(
             train_step,
@@ -161,40 +195,15 @@ class CTCTrainer:
             donate_argnums=(0,),
         )
 
-    def _build_eval_step(self):
-        model = self.model
-
-        def eval_step(params, batch):
-            out = model.apply(
-                {"params": params},
-                batch["input_features"],
-                batch["input_lengths"],
-                labels=batch.get("labels"),
-                label_lengths=batch.get("label_lengths"),
-                deterministic=True,
-            )
-            tokens, token_lengths = ctc_greedy_decode(
-                out.logits, out.logit_lengths, blank_id=-1
-            )
-            return {
-                "loss": out.loss if out.loss is not None else jnp.zeros(()),
-                "tokens": tokens,
-                "token_lengths": token_lengths,
-            }
-
-        return jax.jit(eval_step)
-
-    @property
-    def train_step(self):
+    def train_step(self, state, batch):
         if self._train_step is None:
-            self._train_step = self._build_train_step()
-        return self._train_step
+            self._train_step = self._build_train_step(batch)
+        return self._train_step(state, batch)
 
-    @property
-    def eval_step(self):
+    def eval_step(self, params, batch):
         if self._eval_step is None:
-            self._eval_step = self._build_eval_step()
-        return self._eval_step
+            self._eval_step = jax.jit(self.eval_outputs)
+        return self._eval_step(params, batch)
 
     # ------------------------------------------------------------------ loop
     def fit(
@@ -208,19 +217,24 @@ class CTCTrainer:
         hooks = list(hooks or [])
         best_metric, best_step, patience_left = None, 0, cfg.early_stopping_patience
         t0 = time.time()
-        frames_done = 0
+        audio_samples = 0
 
         for batch in train_iter:
             step = int(state.step)
             if step >= cfg.max_steps:
                 break
             state, metrics = self.train_step(state, batch)
-            frames_done += int(np.sum(batch["input_lengths"]))
+            for key in ("input_values_lengths", "input_lengths", "label_lengths"):
+                if key in batch:
+                    audio_samples += int(np.sum(batch[key]))
+                    break
+            else:
+                audio_samples += int(np.prod(batch["input_ids"].shape))
 
             if (step + 1) % cfg.log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 dt = time.time() - t0
-                m["frames_per_sec"] = frames_done / max(dt, 1e-6)
+                m["throughput"] = audio_samples / max(dt, 1e-6)
                 logger.info("step %d: %s", step + 1, m)
                 for h in hooks:
                     h(step + 1, m)
@@ -272,9 +286,11 @@ class CTCTrainer:
 
         self.checkpoint_manager.save(
             int(state.step),
-            args=ocp.args.StandardSave({"params": state.params, "opt_state": state.opt_state,
-                                        "step": state.step}),
+            args=ocp.args.StandardSave(
+                {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+            ),
         )
+        self.checkpoint_manager.wait_until_finished()
 
     def restore_checkpoint(self, state: AsrTrainState, step: Optional[int] = None):
         import orbax.checkpoint as ocp
@@ -290,3 +306,210 @@ class CTCTrainer:
         return state.replace(
             params=restored["params"], opt_state=restored["opt_state"], step=restored["step"]
         )
+
+
+class CTCTrainer(BaseTrainer):
+    """CTC encoder training over waveform or mel-feature batches."""
+
+    def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):
+        feats, lengths = self._featurize(batch)
+        if self.config.spec_augment is not None:
+            feats = spec_augment(aug_rng, feats, lengths, self.config.spec_augment)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            labels=batch["labels"],
+            label_lengths=batch["label_lengths"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        return out.loss, {}
+
+    def eval_outputs(self, params, batch):
+        feats, lengths = self._featurize(batch)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            labels=batch.get("labels"),
+            label_lengths=batch.get("label_lengths"),
+            deterministic=True,
+        )
+        tokens, token_lengths = ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+        return {
+            "loss": out.loss if out.loss is not None else jnp.zeros(()),
+            "tokens": tokens,
+            "token_lengths": token_lengths,
+        }
+
+
+class JointTrainer(BaseTrainer):
+    """DeCRED/ED training with enc/dec loss component tracking."""
+
+    def _init_args(self, batch):
+        feats, lengths = (
+            (jnp.asarray(batch["input_features"]), jnp.asarray(batch["input_lengths"]))
+            if "input_features" in batch
+            else self.frontend(
+                jnp.asarray(batch["input_values"]),
+                jnp.asarray(batch["input_values_lengths"]),
+            )
+        )
+        return (feats, lengths), {
+            "labels": jnp.asarray(batch["labels"]),
+            "label_lengths": jnp.asarray(batch["label_lengths"]),
+        }
+
+    def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):
+        feats, lengths = self._featurize(batch)
+        if self.config.spec_augment is not None:
+            feats = spec_augment(aug_rng, feats, lengths, self.config.spec_augment)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            labels=batch["labels"],
+            label_lengths=batch["label_lengths"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        return out.loss, {"enc_loss": out.enc_loss, "dec_loss": out.dec_loss}
+
+    def eval_outputs(self, params, batch):
+        feats, lengths = self._featurize(batch)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            labels=batch.get("labels"),
+            label_lengths=batch.get("label_lengths"),
+            deterministic=True,
+        )
+        return {
+            "loss": out.loss,
+            "enc_loss": out.enc_loss,
+            "dec_loss": out.dec_loss,
+        }
+
+
+class BestRQTrainer(BaseTrainer):
+    """BEST-RQ pretraining: loss ÷ masked count + SSL stats
+    (reference SSLTrainer, training_utils.py:207-283)."""
+
+    def _init_args(self, batch):
+        feats, lengths = (
+            (jnp.asarray(batch["input_features"]), jnp.asarray(batch["input_lengths"]))
+            if "input_features" in batch
+            else self.frontend(
+                jnp.asarray(batch["input_values"]),
+                jnp.asarray(batch["input_values_lengths"]),
+            )
+        )
+        return (feats, lengths, jnp.asarray(batch["mask_time_indices"])), {}
+
+    def init_params(self, example_batch):
+        rng = jax.random.key(self.config.seed)
+        args, kwargs = self._init_args(example_batch)
+        variables = self.model.init(
+            {"params": rng, "mask_noise": jax.random.key(1)}, *args, **kwargs
+        )
+        self.buffers = variables.get("buffers", {})
+        return variables["params"]
+
+    def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):
+        feats, lengths = self._featurize(batch)
+        out = self.model.apply(
+            {"params": params, "buffers": self.buffers},
+            feats,
+            lengths,
+            batch["mask_time_indices"].astype(bool),
+            deterministic=False,
+            rngs={"dropout": dropout_rng, "mask_noise": aug_rng},
+        )
+        loss = out.loss / jnp.maximum(out.num_masked, 1)
+        frac_masked = out.num_masked / (
+            batch["mask_time_indices"].shape[0] * batch["mask_time_indices"].shape[1]
+        )
+        return loss, {"num_masked": out.num_masked.astype(jnp.float32),
+                      "percent_masked": 100.0 * frac_masked}
+
+    def eval_outputs(self, params, batch):
+        feats, lengths = self._featurize(batch)
+        out = self.model.apply(
+            {"params": params, "buffers": self.buffers},
+            feats,
+            lengths,
+            batch["mask_time_indices"].astype(bool),
+            deterministic=True,
+            rngs={"mask_noise": jax.random.key(0)},
+        )
+        return {"loss": out.loss / jnp.maximum(out.num_masked, 1)}
+
+
+class Wav2Vec2SSLTrainer(BaseTrainer):
+    """Contrastive SSL with per-step Gumbel temperature decay."""
+
+    def gumbel_temperature(self, step):
+        cfg = self.config
+        return jnp.maximum(
+            cfg.gumbel_temperature_start * cfg.gumbel_temperature_decay ** step,
+            cfg.gumbel_temperature_end,
+        )
+
+    def _init_args(self, batch):
+        feats, lengths = (
+            (jnp.asarray(batch["input_features"]), jnp.asarray(batch["input_lengths"]))
+            if "input_features" in batch
+            else self.frontend(
+                jnp.asarray(batch["input_values"]),
+                jnp.asarray(batch["input_values_lengths"]),
+            )
+        )
+        return (
+            feats,
+            lengths,
+            jnp.asarray(batch["mask_time_indices"]).astype(bool),
+            jnp.asarray(batch["sampled_negative_indices"]),
+        ), {}
+
+    def init_params(self, example_batch):
+        rng = jax.random.key(self.config.seed)
+        args, kwargs = self._init_args(example_batch)
+        variables = self.model.init(
+            {"params": rng, "gumbel": jax.random.key(1)}, *args,
+            deterministic=False, **kwargs,
+        )
+        return variables["params"]
+
+    def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):
+        feats, lengths = self._featurize(batch)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            batch["mask_time_indices"].astype(bool),
+            batch["sampled_negative_indices"],
+            gumbel_temperature=self.gumbel_temperature(step),
+            deterministic=False,
+            rngs={"dropout": dropout_rng, "gumbel": aug_rng},
+        )
+        loss = out.loss / jnp.maximum(out.num_masked, 1)
+        return loss, {
+            "contrastive_loss": out.contrastive_loss / jnp.maximum(out.num_masked, 1),
+            "diversity_loss": out.diversity_loss,
+            "codevector_perplexity": out.codevector_perplexity,
+            "gumbel_temperature": self.gumbel_temperature(step),
+        }
+
+    def eval_outputs(self, params, batch):
+        feats, lengths = self._featurize(batch)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            batch["mask_time_indices"].astype(bool),
+            batch["sampled_negative_indices"],
+            deterministic=True,
+        )
+        return {"loss": out.loss / jnp.maximum(out.num_masked, 1)}

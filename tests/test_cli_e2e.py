@@ -1,0 +1,130 @@
+"""End-to-end CLI smoke tests: tokenizer training → CTC training → eval,
+plus CLM training — on a tiny synthetic corpus through the real entry points.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+datasets = pytest.importorskip("datasets")
+
+
+WORDS = ["hello", "world", "speech", "model", "test", "data"]
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    rows = {"audio": [], "text": [], "input_len": []}
+    for i in range(24):
+        n = int(rng.integers(4000, 8000))
+        rows["audio"].append(rng.standard_normal(n).astype(np.float32) * 0.1)
+        rows["text"].append(" ".join(rng.choice(WORDS, size=rng.integers(2, 5))))
+        rows["input_len"].append(n / 16000.0)
+    ds = datasets.Dataset.from_dict(rows)
+    dd = datasets.DatasetDict({
+        "train": ds,
+        "validation": ds.select(range(4)),
+        "test": ds.select(range(4)),
+    })
+    path = str(root / "ds")
+    dd.save_to_disk(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def tokenizer_dir(tiny_corpus, tmp_path_factory):
+    from huggingface_asr_tpu.cli.train_tokenizer import main
+
+    out = str(tmp_path_factory.mktemp("tok"))
+    main([
+        "--dataset_name", tiny_corpus,
+        "--load_from_disk",
+        "--no-do_resample",
+        "--tokenizer_type", "unigram",
+        "--vocab_size", "64",
+        "--tokenizer_output_dir", out,
+    ])
+    assert os.path.exists(os.path.join(out, "tokenizer_config.json"))
+    return out
+
+
+def test_tokenizer_roundtrip(tokenizer_dir):
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(tokenizer_dir)
+    ids = tok.encode("hello world")
+    assert ids[-1] == tok.eos_token_id
+    assert "hello world" in tok.decode(ids, skip_special_tokens=True).strip()
+
+
+def test_train_ctc_e2e(tiny_corpus, tokenizer_dir, tmp_path):
+    from huggingface_asr_tpu.cli.train_ctc import main
+
+    model_cfg = {
+        "hidden_size": 32, "num_hidden_layers": 1, "num_attention_heads": 2,
+        "intermediate_size": 64, "conv_dim": [8, 8], "conv_kernel": [3, 3],
+        "conv_stride": [2, 2], "conv_padding": [1, 1],
+        "hidden_dropout": 0.0, "attention_dropout": 0.0,
+    }
+    cfg_path = tmp_path / "model.json"
+    cfg_path.write_text(json.dumps(model_cfg))
+    out = str(tmp_path / "out")
+
+    results = main([
+        "--dataset_name", tiny_corpus,
+        "--load_from_disk",
+        "--no-do_resample",
+        "--tokenizer_name", tokenizer_dir,
+        "--model_config", str(cfg_path),
+        "--dtype", "float32",
+        "--output_dir", out,
+        "--per_device_train_batch_size", "8",
+        "--per_device_eval_batch_size", "4",
+        "--max_steps", "4",
+        "--logging_steps", "2",
+        "--eval_steps", "3",
+        "--save_steps", "4",
+        "--warmup_steps", "2",
+        "--max_duration_in_seconds", "2",
+        "--pad_to_multiple", "25",
+    ])
+    assert os.path.exists(os.path.join(out, "final", "config.json"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    assert "test" in results
+    assert np.isfinite(results["test"].metrics["wer"])
+    # prediction artifacts (csv + sclite trn)
+    assert os.path.exists(os.path.join(out, "predictions_test.csv"))
+    assert os.path.exists(os.path.join(out, "predictions_test_hyp.trn"))
+
+
+def test_train_clm_e2e(tiny_corpus, tokenizer_dir, tmp_path):
+    from huggingface_asr_tpu.cli.train_clm import main
+
+    out = str(tmp_path / "clm")
+    main([
+        "--dataset_name", tiny_corpus,
+        "--load_from_disk",
+        "--no-do_resample",
+        "--tokenizer_name", tokenizer_dir,
+        "--output_dir", out,
+        "--block_size", "16",
+        "--n_embd", "32",
+        "--n_layer", "1",
+        "--n_head", "2",
+        "--per_device_train_batch_size", "8",
+        "--max_steps", "3",
+        "--logging_steps", "2",
+        "--save_steps", "3",
+        "--warmup_steps", "1",
+        "--dtype", "float32",
+    ])
+    assert os.path.exists(os.path.join(out, "final", "config.json"))
+    # skip_if_exists guard: second run returns immediately
+    main([
+        "--dataset_name", tiny_corpus, "--load_from_disk", "--no-do_resample",
+        "--tokenizer_name", tokenizer_dir, "--output_dir", out,
+    ])
