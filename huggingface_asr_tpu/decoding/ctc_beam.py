@@ -1,0 +1,211 @@
+"""Frame-synchronous CTC prefix beam search — batched, jit-compiled, on-TPU.
+
+The reference shells out to the flashlight/torchaudio C++ lexicon-free CTC
+beam decoder ON CPU (reference: src/utilities/eval_utils.py:46-62,
+requirements.txt flashlight-text). This is the TPU-native replacement: the
+classic prefix beam search (p_blank/p_non-blank per prefix, Hannun et al.)
+vectorized over batch × beam inside a single ``lax.scan`` over frames, with:
+
+  * per-frame top-K token pruning (beam_size_token equivalent),
+  * EXACT duplicate-prefix merging via dual 32-bit rolling hashes — the
+    candidate pool is sorted by hash and equal neighbors are log-sum-exp
+    merged before the top-W selection (the part naive vectorized ports skip),
+  * static shapes throughout; padded frames freeze the state.
+
+Returns the W best token sequences per utterance with their log-probs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e9
+_H1_MULT = jnp.uint32(1000003)
+_H2_MULT = jnp.uint32(2654435761)
+
+
+@dataclasses.dataclass(frozen=True)
+class CTCBeamConfig:
+    beam_size: int = 10  # W
+    beam_size_token: int = 16  # per-frame top-K tokens considered
+    blank_id: int = -1
+    max_tokens: int = 256  # output length cap
+
+
+class _State(NamedTuple):
+    tokens: jnp.ndarray  # (B, W, L)
+    lengths: jnp.ndarray  # (B, W)
+    last: jnp.ndarray  # (B, W)
+    h1: jnp.ndarray  # (B, W) uint32 rolling hash
+    h2: jnp.ndarray  # (B, W)
+    p_b: jnp.ndarray  # (B, W) log prob of prefix ending in blank
+    p_nb: jnp.ndarray  # (B, W) log prob of prefix ending in non-blank
+
+
+def _lse(a, b):
+    m = jnp.maximum(a, b)
+    m = jnp.maximum(m, NEG_INF)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+
+
+def ctc_beam_search(
+    log_probs: jnp.ndarray,  # (B, T, V) log-softmaxed CTC posteriors
+    lengths: jnp.ndarray,  # (B,)
+    config: CTCBeamConfig = CTCBeamConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens (B, W, L), token_lengths (B, W), scores (B, W))."""
+    cfg = config
+    B, T, V = log_probs.shape
+    W, K = cfg.beam_size, min(cfg.beam_size_token, V)
+    L = cfg.max_tokens
+    blank = cfg.blank_id % V
+    log_probs = log_probs.astype(jnp.float32)
+
+    state = _State(
+        tokens=jnp.zeros((B, W, L), jnp.int32),
+        lengths=jnp.zeros((B, W), jnp.int32),
+        last=jnp.full((B, W), -1, jnp.int32),
+        h1=jnp.zeros((B, W), jnp.uint32),
+        h2=jnp.zeros((B, W), jnp.uint32),
+        p_b=jnp.tile(
+            jnp.asarray([0.0] + [NEG_INF] * (W - 1), jnp.float32)[None], (B, 1)
+        ),
+        p_nb=jnp.full((B, W), NEG_INF, jnp.float32),
+    )
+
+    def step(state: _State, inp):
+        t, lp_t = inp  # lp_t: (B, V)
+        top_lp, top_ids = jax.lax.top_k(lp_t, K)  # (B, K)
+        lp_blank = lp_t[:, blank]  # (B,)
+
+        p_tot = _lse(state.p_b, state.p_nb)  # (B, W)
+
+        # ---- "stay" candidates (same prefix): blank path + repeat path
+        stay_p_b = p_tot + lp_blank[:, None]
+        lp_last = jnp.take_along_axis(
+            lp_t, jnp.maximum(state.last, 0), axis=1
+        )  # (B, W); invalid when last<0
+        stay_p_nb = jnp.where(
+            state.last >= 0, state.p_nb + lp_last, NEG_INF
+        )
+
+        # ---- "extend" candidates: (B, W, K)
+        c = top_ids[:, None, :]  # (B, 1, K) -> broadcast (B, W, K)
+        c_b = jnp.broadcast_to(c, (B, W, K))
+        is_rep = c_b == state.last[:, :, None]
+        base = jnp.where(is_rep, state.p_b[:, :, None], p_tot[:, :, None])
+        ext_p_nb = base + top_lp[:, None, :]
+        is_blank_tok = c_b == blank
+        ext_p_nb = jnp.where(is_blank_tok, NEG_INF, ext_p_nb)  # blank ≠ extend
+        ext_h1 = state.h1[:, :, None] * _H1_MULT + c_b.astype(jnp.uint32) + 1
+        ext_h2 = state.h2[:, :, None] * _H2_MULT + c_b.astype(jnp.uint32) + 1
+
+        # ---- candidate pool: W stay + W*K extend
+        N = W + W * K
+        cand_h1 = jnp.concatenate([state.h1, ext_h1.reshape(B, W * K)], axis=1)
+        cand_h2 = jnp.concatenate([state.h2, ext_h2.reshape(B, W * K)], axis=1)
+        cand_p_b = jnp.concatenate(
+            [stay_p_b, jnp.full((B, W * K), NEG_INF)], axis=1
+        )
+        cand_p_nb = jnp.concatenate([stay_p_nb, ext_p_nb.reshape(B, W * K)], axis=1)
+        # provenance: source beam + appended token (-1 = none)
+        src_beam = jnp.concatenate(
+            [
+                jnp.tile(jnp.arange(W)[None], (B, 1)),
+                jnp.tile(jnp.repeat(jnp.arange(W), K)[None], (B, 1)),
+            ],
+            axis=1,
+        )
+        app_tok = jnp.concatenate(
+            [jnp.full((B, W), -1, jnp.int32), c_b.reshape(B, W * K)], axis=1
+        )
+
+        # ---- merge duplicates: sort by (h1, h2), logsumexp equal neighbors.
+        # Dead candidates (p ~ NEG_INF on both) keep their hashes but merging
+        # them is harmless.
+        order = jnp.lexsort((cand_h2, cand_h1), axis=-1)
+        def g(x):
+            return jnp.take_along_axis(x, order, axis=1)
+        s_h1, s_h2 = g(cand_h1), g(cand_h2)
+        s_p_b, s_p_nb = g(cand_p_b), g(cand_p_nb)
+        s_src, s_app = g(src_beam), g(app_tok)
+
+        same_as_prev = (
+            (s_h1[:, 1:] == s_h1[:, :-1]) & (s_h2[:, 1:] == s_h2[:, :-1])
+        )
+        same_as_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), same_as_prev], axis=1
+        )
+        seg_id = jnp.cumsum(~same_as_prev, axis=1) - 1  # (B, N)
+
+        def merge_batch(p, sid):
+            # per-batch segmented logsumexp via scatter-max + scatter-add.
+            mx = jnp.full((N,), NEG_INF).at[sid].max(p)
+            sums = jnp.zeros((N,)).at[sid].add(jnp.exp(p - mx[sid]))
+            merged = mx + jnp.log(jnp.maximum(sums, 1e-30))
+            return merged[sid]  # broadcast run total back to members
+
+        merged_p_b = jax.vmap(merge_batch)(s_p_b, seg_id)
+        merged_p_nb = jax.vmap(merge_batch)(s_p_nb, seg_id)
+        # Only the first member of each run survives; others are annihilated.
+        is_first = ~same_as_prev
+        merged_p_b = jnp.where(is_first, merged_p_b, NEG_INF)
+        merged_p_nb = jnp.where(is_first, merged_p_nb, NEG_INF)
+
+        total = _lse(merged_p_b, merged_p_nb)
+        top_scores, top_pos = jax.lax.top_k(total, W)  # (B, W)
+
+        def pick(x):
+            return jnp.take_along_axis(x, top_pos, axis=1)
+
+        new_h1, new_h2 = pick(s_h1), pick(s_h2)
+        new_p_b, new_p_nb = pick(merged_p_b), pick(merged_p_nb)
+        sel_src, sel_app = pick(s_src), pick(s_app)
+
+        # rebuild token arrays
+        old_tokens = jnp.take_along_axis(
+            state.tokens, sel_src[..., None], axis=1
+        )  # (B, W, L)
+        old_lengths = jnp.take_along_axis(state.lengths, sel_src, axis=1)
+        old_last = jnp.take_along_axis(state.last, sel_src, axis=1)
+        appended = sel_app >= 0
+        write_pos = jnp.clip(old_lengths, 0, L - 1)
+        pos_mask = (
+            jnp.arange(L)[None, None, :] == write_pos[..., None]
+        ) & appended[..., None]
+        new_tokens = jnp.where(pos_mask, sel_app[..., None], old_tokens)
+        new_lengths = old_lengths + appended.astype(jnp.int32)
+        new_last = jnp.where(appended, sel_app, old_last)
+
+        # frames past the utterance freeze everything
+        active = (t < lengths)[:, None]
+        def keep(new, old):
+            broadcast = active
+            while broadcast.ndim < new.ndim:
+                broadcast = broadcast[..., None]
+            return jnp.where(broadcast, new, old)
+
+        new_state = _State(
+            tokens=keep(new_tokens, state.tokens),
+            lengths=keep(new_lengths, state.lengths),
+            last=keep(new_last, state.last),
+            h1=keep(new_h1, state.h1),
+            h2=keep(new_h2, state.h2),
+            p_b=keep(new_p_b, state.p_b),
+            p_nb=keep(new_p_nb, state.p_nb),
+        )
+        return new_state, None
+
+    ts = jnp.arange(T)
+    state, _ = jax.lax.scan(step, state, (ts, log_probs.transpose(1, 0, 2)))
+
+    scores = _lse(state.p_b, state.p_nb)
+    order = jnp.argsort(-scores, axis=1)
+    tokens = jnp.take_along_axis(state.tokens, order[..., None], axis=1)
+    tok_lengths = jnp.take_along_axis(state.lengths, order, axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return tokens, tok_lengths, scores
