@@ -56,6 +56,13 @@ class GPT2DecoderConfig:
     bos_token_id: int = 0
     eos_token_id: int = 1
     pad_token_id: Optional[int] = None
+    # Fine-tunable head combination (reference multi_head_gpt2_mixing.py:34-144):
+    # None | "full" (linear over concat logits, ~identity-average init) |
+    # "linear" (per-head-per-vocab weights) | "scalar" (per-head scalars)
+    mixing_mode: Optional[str] = None
+    # LM head over concatenation of selected hidden states (reference
+    # residual_clasiffier_gpt2.py:12-99); empty = disabled
+    connected_residuals: Tuple[int, ...] = ()
 
     @property
     def inner_dim(self):
@@ -309,9 +316,71 @@ class GPT2MultiHeadDecoder(nn.Module):
             dense = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, name=name)
             return dense
 
-        final_head = head("lm_head")
         per_head_logits = None
         loss = None
+
+        if cfg.connected_residuals:
+            # Residual-classifier head: vocab projection over concatenated
+            # hidden states of the selected layers.
+            concat = jnp.concatenate(
+                [hidden_states[i] for i in cfg.connected_residuals], axis=-1
+            )
+            logits = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head"
+            )(concat)
+            if labels is not None:
+                loss = smoothed_cross_entropy(
+                    logits, labels, label_mask.astype(jnp.float32), cfg.lsm_factor
+                )
+            return DecoderOutput(logits=logits, loss=loss,
+                                 hidden_states=tuple(hidden_states))
+
+        final_head = head("lm_head")
+
+        if cfg.mixing_mode is not None:
+            n = len(cfg.head_weights)
+            per_head = []
+            for k, (loc, tag, _) in enumerate(self._heads()):
+                head_fn = (
+                    final_head if tag == "final" else head(f"additional_lm_heads_{k}")
+                )
+                per_head.append(head_fn(hidden_states[loc]))
+            if cfg.mixing_mode == "full":
+                def eye_repeat(key, shape, dtype=jnp.float32):
+                    V = cfg.vocab_size
+                    return jnp.tile(jnp.eye(V, dtype=dtype) * 0.5, (n, 1))
+
+                logits = nn.Dense(
+                    cfg.vocab_size, dtype=self.dtype, kernel_init=eye_repeat,
+                    name="lm_mixing",
+                )(jnp.concatenate(per_head, axis=-1))
+            elif cfg.mixing_mode == "linear":
+                w = self.param(
+                    "lm_mixing",
+                    lambda *_: jnp.full((n, cfg.vocab_size), 1.0 / n, jnp.float32),
+                )
+                logits = sum(
+                    lg * w[i][None, None, :].astype(lg.dtype)
+                    for i, lg in enumerate(per_head)
+                )
+            elif cfg.mixing_mode == "scalar":
+                w = self.param(
+                    "lm_mixing", lambda *_: jnp.full((n,), 1.0 / n, jnp.float32)
+                )
+                logits = sum(lg * w[i].astype(lg.dtype) for i, lg in enumerate(per_head))
+            else:
+                raise NotImplementedError(cfg.mixing_mode)
+            if labels is not None:
+                # NOTE: the reference's mixing loss slices lm_logits[-1]
+                # (multi_head_gpt2_mixing.py:129), which drops all but the
+                # last batch row — we train the mixed logits properly.
+                loss = smoothed_cross_entropy(
+                    logits, labels, label_mask.astype(jnp.float32), 0.0
+                )
+            return DecoderOutput(logits=logits, loss=loss,
+                                 hidden_states=tuple(hidden_states),
+                                 per_head_logits=tuple(per_head))
+
         if labels is not None:
             # ``labels`` are targets ALIGNED with input positions (the caller
             # passes input_ids=[bos]+y[:-1], labels=y). This equals the

@@ -1,0 +1,150 @@
+"""Serving: ASR pipeline + inference-endpoint handler.
+
+TPU-native counterpart of the reference's hub serving path (reference:
+src/reguler/handler.py:8-40 wraps HF ``pipeline("automatic-speech-recognition")``
+around the DeCRED model). Here the pipeline is a self-contained object over
+our checkpoints: waveform(s) → fused log-mel → CTC greedy (encoder models) or
+joint CTC/attention beam search (AED models) → text. Inputs are bucketed to a
+small set of padded lengths so repeated calls hit the jit cache instead of
+recompiling.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class ASRPipeline:
+    def __init__(
+        self,
+        model_dir: str,
+        tokenizer_dir: Optional[str] = None,
+        model_type: str = "aed",  # aed | ctc
+        ctc_weight: float = 0.3,
+        num_beams: int = 5,
+        max_length: int = 128,
+        dtype: str = "bfloat16",
+        length_buckets: Sequence[float] = (2.0, 5.0, 10.0, 20.0, 30.0),
+        sampling_rate: int = 16000,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from huggingface_asr_tpu.cli.common import load_tokenizer, tokenizer_ids
+        from huggingface_asr_tpu.decoding.beam_search import BeamSearchConfig
+        from huggingface_asr_tpu.decoding.generate import generate_joint
+        from huggingface_asr_tpu.models.configs import EBranchformerConfig, parse_dtype
+        from huggingface_asr_tpu.models.ebranchformer import EBranchformerForCTC
+        from huggingface_asr_tpu.models.joint_ctc_aed import (
+            JointCTCAttentionConfig,
+            JointCTCAttentionEncoderDecoder,
+        )
+        from huggingface_asr_tpu.ops.ctc import ctc_greedy_decode
+        from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
+        from huggingface_asr_tpu.training.model_factory import load_config, load_params
+
+        self.sampling_rate = sampling_rate
+        self.length_buckets = sorted(length_buckets)
+        self.tokenizer = load_tokenizer(tokenizer_dir or model_dir)
+        ids = tokenizer_ids(self.tokenizer)
+        self.model_type = model_type
+        dt = parse_dtype(dtype)
+
+        if model_type == "ctc":
+            config = load_config(model_dir, EBranchformerConfig)
+            self.params = load_params(model_dir)
+            model = EBranchformerForCTC(config, dtype=dt)
+            frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.num_fbanks))
+
+            @jax.jit
+            def run(params, wav, wav_lens):
+                feats, lens = frontend(wav, wav_lens)
+                out = model.apply({"params": params}, feats, lens, deterministic=True)
+                return ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+
+            self._run = run
+        else:
+            config = load_config(model_dir, JointCTCAttentionConfig)
+            self.params = load_params(model_dir)
+            model = JointCTCAttentionEncoderDecoder(config, dtype=dt)
+            frontend = LogMelFrontEnd(
+                LogMelConfig(num_mel_bins=config.encoder.num_fbanks)
+            )
+            gen_cfg = BeamSearchConfig(
+                num_beams=num_beams,
+                max_length=max_length,
+                ctc_weight=ctc_weight,
+                bos_token_id=ids["bos"],
+                eos_token_id=ids["eos"],
+                pad_token_id=ids["pad"],
+            )
+
+            @jax.jit
+            def run(params, wav, wav_lens):
+                feats, lens = frontend(wav, wav_lens)
+                seqs, scores = generate_joint(model, params, feats, lens, gen_cfg)
+                return seqs, scores
+
+            self._run = run
+
+    def _bucket_pad(self, audios: List[np.ndarray]) -> np.ndarray:
+        max_len = max(len(a) for a in audios)
+        for sec in self.length_buckets:
+            cap = int(sec * self.sampling_rate)
+            if max_len <= cap:
+                max_len = cap
+                break
+        out = np.zeros((len(audios), max_len), np.float32)
+        for i, a in enumerate(audios):
+            out[i, : len(a)] = a[:max_len]
+        return out
+
+    def __call__(
+        self, inputs: Union[np.ndarray, Sequence[np.ndarray], Dict]
+    ) -> Union[str, List[str]]:
+        import jax
+
+        single = False
+        if isinstance(inputs, dict):
+            inputs = inputs.get("array", inputs.get("inputs"))
+        if isinstance(inputs, np.ndarray) and inputs.ndim == 1:
+            inputs, single = [inputs], True
+        audios = [np.asarray(a, np.float32) for a in inputs]
+        wav = self._bucket_pad(audios)
+        lens = np.asarray([len(a) for a in audios], np.int32)
+
+        if self.model_type == "ctc":
+            from huggingface_asr_tpu.ops.ctc import tokens_to_lists
+
+            toks, tlens = jax.device_get(self._run(self.params, wav, lens))
+            texts = [
+                self.tokenizer.decode(t, skip_special_tokens=True)
+                for t in tokens_to_lists(toks, tlens)
+            ]
+        else:
+            seqs, _ = jax.device_get(self._run(self.params, wav, lens))
+            texts = [
+                self.tokenizer.decode([int(t) for t in row[0]], skip_special_tokens=True)
+                for row in seqs
+            ]
+        return texts[0] if single else texts
+
+
+class EndpointHandler:
+    """Inference-endpoint adapter (reference handler.py:8-40 interface)."""
+
+    def __init__(self, path: str = "", **kwargs):
+        self.pipeline = ASRPipeline(path, **kwargs)
+
+    def __call__(self, data: Dict) -> Dict:
+        inputs = data.get("inputs", data)
+        if isinstance(inputs, dict) and "array" in inputs:
+            inputs = np.asarray(inputs["array"], np.float32)
+        text = self.pipeline(inputs)
+        return {"text": text}
