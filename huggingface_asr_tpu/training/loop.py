@@ -63,6 +63,13 @@ class TrainerConfig:
     gumbel_temperature_start: float = 2.0
     gumbel_temperature_end: float = 0.5
     gumbel_temperature_decay: float = 0.999995
+    # On-the-fly augmentation scheduling (reference DelayedStartWrapper,
+    # callbacks.py:52-66): SpecAugment activates at this global step.
+    spec_augment_start_step: int = 0
+    # Capture a jax.profiler trace for steps [profile_start, profile_start+N)
+    profile_steps: int = 0
+    profile_start: int = 10
+    profile_dir: str = "/tmp/jax_trace"
 
 
 class BaseTrainer:
@@ -219,10 +226,19 @@ class BaseTrainer:
         t0 = time.time()
         audio_samples = 0
 
+        profiling = False
         for batch in train_iter:
             step = int(state.step)
             if step >= cfg.max_steps:
                 break
+            if cfg.profile_steps > 0:
+                if step == cfg.profile_start and not profiling:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                elif profiling and step >= cfg.profile_start + cfg.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profiler trace written to %s", cfg.profile_dir)
             state, metrics = self.train_step(state, batch)
             for key in ("input_values_lengths", "input_lengths", "label_lengths"):
                 if key in batch:
@@ -308,13 +324,23 @@ class BaseTrainer:
         )
 
 
+    def _maybe_spec_augment(self, aug_rng, feats, lengths, step):
+        """SpecAugment inside the step, honoring delayed activation."""
+        cfg = self.config
+        if cfg.spec_augment is None:
+            return feats
+        aug = spec_augment(aug_rng, feats, lengths, cfg.spec_augment)
+        if cfg.spec_augment_start_step > 0:
+            return jnp.where(step >= cfg.spec_augment_start_step, aug, feats)
+        return aug
+
+
 class CTCTrainer(BaseTrainer):
     """CTC encoder training over waveform or mel-feature batches."""
 
     def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):
         feats, lengths = self._featurize(batch)
-        if self.config.spec_augment is not None:
-            feats = spec_augment(aug_rng, feats, lengths, self.config.spec_augment)
+        feats = self._maybe_spec_augment(aug_rng, feats, lengths, step)
         out = self.model.apply(
             {"params": params},
             feats,
@@ -363,8 +389,7 @@ class JointTrainer(BaseTrainer):
 
     def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):
         feats, lengths = self._featurize(batch)
-        if self.config.spec_augment is not None:
-            feats = spec_augment(aug_rng, feats, lengths, self.config.spec_augment)
+        feats = self._maybe_spec_augment(aug_rng, feats, lengths, step)
         out = self.model.apply(
             {"params": params},
             feats,

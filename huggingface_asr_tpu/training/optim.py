@@ -25,6 +25,7 @@ class OptimizerConfig:
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 5.0
+    gradient_accumulation_steps: int = 1
 
 
 def make_schedule(config: OptimizerConfig) -> optax.Schedule:
@@ -54,7 +55,7 @@ def _decay_mask(params):
 
 def make_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
     schedule = make_schedule(config)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adamw(
             schedule,
@@ -65,3 +66,6 @@ def make_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
             mask=_decay_mask,
         ),
     )
+    if config.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
+    return tx
