@@ -60,14 +60,12 @@ class SpeechCollator:
         return list(ids)
 
     def __call__(self, examples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        from huggingface_asr_tpu.data.native_collate import collate_f32
+
         cfg = self.config
         audios = [self._audio_array(e[cfg.audio_key]) for e in examples]
-        lengths = np.asarray([len(a) for a in audios], dtype=np.int32)
-        padded_len = quantize_length(int(lengths.max()), cfg.bucketing)
-        B = len(audios)
-        waveforms = np.zeros((B, padded_len), dtype=np.float32)
-        for i, a in enumerate(audios):
-            waveforms[i, : len(a)] = a
+        padded_len = quantize_length(max(len(a) for a in audios), cfg.bucketing)
+        waveforms, lengths = collate_f32(audios, padded_len)
 
         batch = {"input_values": waveforms, "input_values_lengths": lengths}
 
@@ -78,18 +76,16 @@ class SpeechCollator:
             label_lists = [self._encode(e[cfg.text_key]) for e in examples]
 
         if label_lists is not None:
+            from huggingface_asr_tpu.data.native_collate import collate_i32
+
             if cfg.mask_unks and cfg.unk_token_id is not None:
-                pad = 0
                 label_lists = [
                     [t for t in ids if t != cfg.unk_token_id] for ids in label_lists
                 ]
-            label_lengths = np.asarray([len(l) for l in label_lists], dtype=np.int32)
             m = cfg.label_pad_to_multiple
-            L = max(int(label_lengths.max()), 1)
+            L = max(max((len(l) for l in label_lists), default=1), 1)
             L = ((L + m - 1) // m) * m
-            labels = np.zeros((B, L), dtype=np.int32)
-            for i, ids in enumerate(label_lists):
-                labels[i, : len(ids)] = ids
+            labels, label_lengths = collate_i32(label_lists, L, fill=0)
             batch["labels"] = labels
             batch["label_lengths"] = label_lengths
         return batch
