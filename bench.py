@@ -44,33 +44,36 @@ def main():
     model = EBranchformerForCTC(config, dtype=jnp.bfloat16)
     frontend = LogMelFrontEnd(LogMelConfig())
 
-    B = 64
+    B = 128
     seconds = 10.0
     S = int(16000 * seconds)
 
     rng = np.random.default_rng(0)
-    waveforms = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+    iters = 8
+    # Distinct inputs per iteration + a scalar host fetch each step: robust
+    # against any transport-level result caching / lazy sync.
+    batches = [
+        jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+        for _ in range(iters)
+    ]
     wave_lengths = jnp.full((B,), S, jnp.int32)
 
-    feats0, feat_lens0 = frontend(waveforms, wave_lengths)
-    params = model.init(jax.random.key(0), feats0[:1], feat_lens0[:1])["params"]
+    feats0, feat_lens0 = frontend(batches[0][:1], wave_lengths[:1])
+    params = model.init(jax.random.key(0), feats0, feat_lens0)["params"]
 
     @jax.jit
     def pipeline(params, waveforms, wave_lengths):
         feats, feat_lens = frontend(waveforms, wave_lengths)
         out = model.apply({"params": params}, feats, feat_lens, deterministic=True)
         tokens, n_tokens = ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
-        return tokens, n_tokens
+        return jnp.sum(n_tokens) + jnp.sum(tokens[:, 0])
 
     # Warmup / compile.
-    tokens, n_tokens = pipeline(params, waveforms, wave_lengths)
-    jax.block_until_ready(tokens)
+    float(pipeline(params, batches[0], wave_lengths))
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        tokens, n_tokens = pipeline(params, waveforms, wave_lengths)
-    jax.block_until_ready(tokens)
+    for wav in batches:
+        float(pipeline(params, wav, wave_lengths))
     dt = time.perf_counter() - t0
 
     audio_seconds = B * seconds * iters

@@ -72,7 +72,12 @@ def feat_extract_output_lengths(config: EBranchformerConfig, input_lengths):
 
 
 class Conv2dFeatureExtractor(nn.Module):
-    """Stack of 2-D convs over (B, T, F) mel input + flatten + Linear → hidden."""
+    """Stack of 2-D convs over (B, T, F) mel input + flatten + Linear → hidden.
+
+    (An im2col-matmul formulation was benchmarked and lost to XLA's native
+    conv lowering on these shapes — the k²·Cin patch tensor costs more HBM
+    traffic than the conv saves in MXU efficiency.)
+    """
 
     config: EBranchformerConfig
     dtype: Any = jnp.float32
