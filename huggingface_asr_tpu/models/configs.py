@@ -36,6 +36,10 @@ class EBranchformerConfig:
     final_dropout: float = 0.1
     layerdrop: float = 0.0
 
+    # Attention score/softmax accumulation in fp32 (parity/training default).
+    # False keeps scores in the compute dtype (bf16) — halves the HBM traffic
+    # of the (B,H,T,T) score tensors for serving.
+    attention_softmax_fp32: bool = True
     # Positional embeddings: "relative" | "rotary" | "none"
     position_embeddings_type: str = "relative"
     max_source_positions: int = 5000

@@ -43,7 +43,10 @@ ACT = {
     "identity": lambda x: x,
 }
 
-NEG_INF = jnp.finfo(jnp.float32).min
+# Additive mask value: -1e9 underflows to exp()=0 exactly like -float32.max
+# (what torch uses) but stays finite under a bf16 cast — a fully-masked
+# padding row then softmaxes to uniform instead of NaN.
+NEG_INF = -1.0e9
 
 
 @dataclasses.dataclass
@@ -187,12 +190,16 @@ class EBranchformerSelfAttention(nn.Module):
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(dh).astype(self.dtype)
 
-        scores = scores.astype(jnp.float32)
+        if cfg.attention_softmax_fp32:
+            scores = scores.astype(jnp.float32)
+            neg = NEG_INF
+        else:
+            neg = jnp.asarray(-1e9, scores.dtype)
         if cfg.is_causal:
             causal = jnp.tril(jnp.ones((T, T), dtype=bool))
-            scores = jnp.where(causal[None, None], scores, NEG_INF)
+            scores = jnp.where(causal[None, None], scores, neg)
         if attention_bias is not None:
-            scores = scores + attention_bias
+            scores = scores + attention_bias.astype(scores.dtype)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
 

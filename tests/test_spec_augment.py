@@ -41,15 +41,17 @@ def test_freq_masks_zero_full_rows():
 
 def test_time_masks_zero_full_frames():
     rng = np.random.default_rng(2)
-    x, lengths = _batch(rng)
+    # full-length sequences: masks sampled over the padded axis (reference
+    # semantics) always land in the valid region here
+    x = jnp.asarray(rng.standard_normal((4, 200, 80)).astype(np.float32) + 5.0)
+    lengths = jnp.full((4,), 200, jnp.int32)
     cfg = SpecAugmentConfig(
         apply_time_warp=False, apply_freq_mask=False,
         time_mask_width_range=(3, 8), time_mask_width_ratio_range=None, num_time_mask=3,
     )
     out = np.asarray(spec_augment(jax.random.key(2), x, lengths, cfg))
     for b in range(out.shape[0]):
-        l = int(lengths[b])
-        zero_frames = np.all(out[b, :l] == 0.0, axis=1)
+        zero_frames = np.all(out[b] == 0.0, axis=1)
         assert 3 <= zero_frames.sum() <= 24
 
 
