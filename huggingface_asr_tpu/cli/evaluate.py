@@ -92,6 +92,8 @@ def main(argv=None):
         gen_cfg = build_generation_config(gen_args, ids)
         if gen_args.override_for_evaluation:
             gen_cfg = parse_override_string(gen_args.override_for_evaluation, gen_cfg)
+        if gen_args.save_nbest:
+            gen_cfg = dataclasses.replace(gen_cfg, return_components=True)
 
         decode_jit = jax.jit(
             lambda feats, lens: generate_joint(model, params, feats, lens, gen_cfg)
@@ -101,9 +103,12 @@ def main(argv=None):
 
         def decode_batch(batch):
             feats, lens = frontend_fn(batch["input_values"], batch["input_values_lengths"])
-            seqs, scores = jax.device_get(decode_jit(feats, lens))
+            out = jax.device_get(decode_jit(feats, lens))
             if gen_args.save_nbest:
-                nbest_store.append((seqs, scores))
+                seqs, scores, comps = out
+                nbest_store.append((seqs, scores, comps))
+            else:
+                seqs, scores = out
             return [
                 tokenizer.decode([int(t) for t in row[0]], skip_special_tokens=True)
                 for row in seqs
@@ -129,13 +134,22 @@ def main(argv=None):
         normalizer=normalizer,
     )
     if eval_args.model_type == "aed" and gen_args.save_nbest and nbest_store:
-        seqs = np.concatenate([s for s, _ in nbest_store], axis=0)
-        scores = np.concatenate([s for _, s in nbest_store], axis=0)
+        seqs = np.concatenate([s for s, _, _ in nbest_store], axis=0)
+        scores = np.concatenate([s for _, s, _ in nbest_store], axis=0)
         save_nbests(
             os.path.join(eval_args.output_dir, "nbest"),
             seqs, scores,
             lambda toks: tokenizer.decode(toks, skip_special_tokens=True),
         )
+        # per-component score streams (reference postprocess_beam_outputs,
+        # general_utils.py:115-126 splits joint/dec/ctc/lm)
+        for name in ("att", "ctc", "lm"):
+            comp = np.concatenate([c[name] for _, _, c in nbest_store], axis=0)
+            path = os.path.join(eval_args.output_dir, f"nbest_{name}_scores.txt")
+            with open(path, "w") as f:
+                for i in range(comp.shape[0]):
+                    for w in range(comp.shape[1]):
+                        f.write(f"utt_{i}-{w} {comp[i, w]:.6f}\n")
     return results
 
 

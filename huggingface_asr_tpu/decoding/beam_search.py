@@ -13,7 +13,10 @@ The whole search is ONE compiled program: a ``lax.scan`` over decode steps,
 KV-cached decoder (and LM) steps, per-beam candidate top-K, CTC prefix
 scoring as an inner time-scan, and alive/finished beam bookkeeping with HF's
 length-penalty convention (score = sum_logprobs / len(hyp)**penalty, hyp
-including the start token). No host round-trips, static shapes throughout.
+including the start token). Per-hypothesis score components (att/ctc/lm) are
+tracked through beam reordering — the reference recovers these post-hoc from
+beam-search internals for n-best dumps (generation_utils.py:115-126); here
+they are first-class outputs.
 
 Departure from the reference (documented): CTC scores are computed for the
 attention top-K candidates per beam (the reference's partial-scoring mode,
@@ -24,7 +27,7 @@ state to (T, 2, BW, K); K defaults to 64 and is configurable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,17 +54,20 @@ class BeamSearchConfig:
     apply_eos_space_trick: bool = False
     space_token_id: int = -1
     eos_space_trick_weight: float = 1.0
+    return_components: bool = False  # also return att/ctc/lm score breakdown
 
 
 class _BeamState(NamedTuple):
     step: jnp.ndarray
     alive_tokens: jnp.ndarray  # (B, W, L)
-    alive_scores: jnp.ndarray  # (B, W) sum of log-probs
+    alive_scores: jnp.ndarray  # (B, W) combined sum of log-probs
+    alive_components: jnp.ndarray  # (B, W, 3) cumulative [att, ctc, lm]
     cache: Any  # decoder KV cache, leaves (B*W, ...)
     lm_cache: Any
     ctc_state: Optional[CTCPrefixState]
     finished_tokens: jnp.ndarray  # (B, W, L)
     finished_scores: jnp.ndarray  # (B, W) length-penalized
+    finished_components: jnp.ndarray  # (B, W, 3)
     finished_mask: jnp.ndarray  # (B, W) slot filled
 
 
@@ -84,11 +90,13 @@ def joint_beam_search(
     lm_step: Optional[Callable] = None,
     init_lm_cache: Any = None,
     vocab_size: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+):
     """Run beam search.
 
     decoder_step(cache, tokens (BW,1), positions (BW,)) -> (logits (BW,V), cache)
-    Returns (sequences (B, W, L) sorted best-first incl. bos, scores (B, W)).
+    Returns (sequences (B, W, L) sorted best-first incl. bos, scores (B, W))
+    plus a components dict {"att","ctc","lm"} of (B, W) arrays when
+    ``config.return_components``.
     """
     cfg = config
     B, W, K = batch_size, cfg.num_beams, cfg.num_candidates
@@ -96,6 +104,7 @@ def joint_beam_search(
     BW = B * W
 
     use_ctc = cfg.ctc_weight > 0.0 and ctc_log_probs is not None
+    use_lm = lm_step is not None and cfg.lm_weight != 0.0
     scorer = None
     if use_ctc:
         V_ctc = ctc_log_probs.shape[-1]
@@ -113,11 +122,13 @@ def joint_beam_search(
         step=jnp.zeros((), jnp.int32),
         alive_tokens=alive_tokens,
         alive_scores=alive_scores,
+        alive_components=jnp.zeros((B, W, 3), jnp.float32),
         cache=init_cache,
         lm_cache=init_lm_cache,
         ctc_state=scorer.init_state(W) if use_ctc else None,
         finished_tokens=jnp.full((B, W, L), cfg.pad_token_id, jnp.int32),
         finished_scores=jnp.full((B, W), NEG_INF, jnp.float32),
+        finished_components=jnp.zeros((B, W, 3), jnp.float32),
         finished_mask=jnp.zeros((B, W), bool),
     )
 
@@ -137,41 +148,54 @@ def joint_beam_search(
         att = att.at[:, cfg.pad_token_id].set(NEG_INF)
 
         new_lm_cache = state.lm_cache
-        if lm_step is not None and cfg.lm_weight != 0.0:
+        lm_lp = None
+        select_scores = att
+        if use_lm:
             lm_logits, new_lm_cache = lm_step(state.lm_cache, last_tokens, positions)
-            lm = jax.nn.log_softmax(lm_logits.astype(jnp.float32), axis=-1)[:, :V]
-            att = att + cfg.lm_weight * lm
+            lm_lp = jax.nn.log_softmax(lm_logits.astype(jnp.float32), axis=-1)[:, :V]
+            select_scores = att + cfg.lm_weight * lm_lp
+
+        # Per-beam candidates = top-(K-1) of the non-CTC score ∪ {eos}.
+        top_sel, cand_ids = jax.lax.top_k(select_scores, K - 1)
+        has_eos = jnp.any(cand_ids == cfg.eos_token_id, axis=-1, keepdims=True)
+        eos_col = jnp.full((BW, 1), cfg.eos_token_id, jnp.int32)
+        cand_ids = jnp.concatenate([cand_ids, eos_col], axis=1)  # (BW, K)
+
+        cand_att = jnp.take_along_axis(att, cand_ids, axis=1)
+        cand_lm = (
+            jnp.take_along_axis(lm_lp, cand_ids, axis=1)
+            if use_lm
+            else jnp.zeros_like(cand_att)
+        )
+        # de-duplicate the appended eos column
+        dup = jnp.concatenate(
+            [jnp.zeros((BW, K - 1), bool), has_eos], axis=1
+        )
+        cand_att = jnp.where(dup, NEG_INF, cand_att)
 
         if use_ctc:
-            # Per-beam candidates = att top-(K-1) ∪ {eos}.
-            cand_scores, cand_ids = jax.lax.top_k(att, K - 1)
-            has_eos = jnp.any(cand_ids == cfg.eos_token_id, axis=-1, keepdims=True)
-            eos_col = jnp.full((BW, 1), cfg.eos_token_id, jnp.int32)
-            cand_ids = jnp.concatenate([cand_ids, eos_col], axis=1)
-            eos_att = att[:, cfg.eos_token_id][:, None]
-            cand_scores = jnp.concatenate(
-                [cand_scores, jnp.where(has_eos, NEG_INF, eos_att)], axis=1
+            cand_ctc, scored = scorer.score_candidates(state.ctc_state, cand_ids)
+            combined = (
+                (1.0 - cfg.ctc_weight) * cand_att
+                + cfg.ctc_weight * cand_ctc
+                + cfg.lm_weight * cand_lm
             )
-            ctc_scores, scored = scorer.score_candidates(state.ctc_state, cand_ids)
-            combined = (1.0 - cfg.ctc_weight) * cand_scores + cfg.ctc_weight * ctc_scores
-
             if cfg.apply_eos_space_trick:
                 # reference ctc_scorer.py:333-349: when att prefers EOS but
-                # CTC prefers space and the trick-weighted EOS overtakes
-                # space, boost EOS.
-                att_argmax_eos = jnp.argmax(cand_scores, axis=1)
+                # CTC prefers space and the trick-weighted EOS score
+                # overtakes space, boost EOS.
+                att_argmax = jnp.take_along_axis(
+                    cand_ids, jnp.argmax(cand_att, axis=1)[:, None], axis=1
+                )[:, 0]
                 ctc_argmax = jnp.take_along_axis(
-                    cand_ids, jnp.argmax(ctc_scores, axis=1)[:, None], axis=1
+                    cand_ids, jnp.argmax(cand_ctc, axis=1)[:, None], axis=1
                 )[:, 0]
                 is_eos_col = cand_ids == cfg.eos_token_id
                 eos_score = jnp.where(is_eos_col, combined, NEG_INF).max(axis=1)
                 space_col = cand_ids == cfg.space_token_id
                 space_score = jnp.where(space_col, combined, NEG_INF).max(axis=1)
-                att_is_eos = jnp.take_along_axis(
-                    cand_ids, att_argmax_eos[:, None], axis=1
-                )[:, 0] == cfg.eos_token_id
                 conflict = (
-                    att_is_eos
+                    (att_argmax == cfg.eos_token_id)
                     & (ctc_argmax == cfg.space_token_id)
                     & (eos_score < space_score)
                     & (cfg.eos_space_trick_weight * eos_score > space_score)
@@ -182,14 +206,8 @@ def joint_beam_search(
                     combined,
                 )
         else:
-            cand_scores, cand_ids = jax.lax.top_k(att, K - 1)
-            has_eos = jnp.any(cand_ids == cfg.eos_token_id, axis=-1, keepdims=True)
-            eos_col = jnp.full((BW, 1), cfg.eos_token_id, jnp.int32)
-            cand_ids = jnp.concatenate([cand_ids, eos_col], axis=1)
-            eos_att = att[:, cfg.eos_token_id][:, None]
-            combined = jnp.concatenate(
-                [cand_scores, jnp.where(has_eos, NEG_INF, eos_att)], axis=1
-            )
+            cand_ctc = jnp.zeros_like(cand_att)
+            combined = cand_att + cfg.lm_weight * cand_lm
             scored = None
 
         total = state.alive_scores.reshape(BW, 1) + combined  # (BW, K)
@@ -199,41 +217,48 @@ def joint_beam_search(
         top_scores, top_idx = jax.lax.top_k(total_b, 2 * W)  # (B, 2W)
         beam_of = top_idx // K  # (B, 2W) source beam within batch
         cand_of = top_idx % K
-        # token ids: cand_ids[b, beam_of, cand_of]
-        tok_of = jnp.take_along_axis(
-            jnp.take_along_axis(
-                cand_ids.reshape(B, W, K), beam_of[..., None], axis=1
-            ),
-            cand_of[..., None],
-            axis=2,
-        )[..., 0]  # (B, 2W)
+
+        def gather_cand(x):  # x: (BW, K) -> (B, 2W) at (beam_of, cand_of)
+            return jnp.take_along_axis(
+                jnp.take_along_axis(x.reshape(B, W, K), beam_of[..., None], axis=1),
+                cand_of[..., None],
+                axis=2,
+            )[..., 0]
+
+        tok_of = gather_cand(cand_ids)
+        comp_of = jnp.stack(
+            [gather_cand(cand_att), gather_cand(cand_ctc), gather_cand(cand_lm)],
+            axis=-1,
+        )  # (B, 2W, 3)
+        src_components = jnp.take_along_axis(
+            state.alive_components, beam_of[..., None], axis=1
+        )
+        new_components = src_components + comp_of
         is_eos = tok_of == cfg.eos_token_id
 
         # ----- update finished set with EOS candidates
-        # length includes bos and the just-emitted eos: t+2
-        lp_len = (t + 2).astype(jnp.float32)
+        lp_len = (t + 2).astype(jnp.float32)  # bos + generated incl. eos
         fin_cand_scores = jnp.where(
             is_eos, top_scores / (lp_len ** cfg.length_penalty), NEG_INF
         )
-        # candidate sequences: source beam tokens + eos at position t+1
         src_tokens = jnp.take_along_axis(
             state.alive_tokens, beam_of[..., None], axis=1
         )  # (B, 2W, L)
-        onehot_t1 = jax.nn.one_hot(t + 1, L, dtype=jnp.int32)
-        fin_cand_tokens = (
-            src_tokens * (1 - onehot_t1)[None, None, :]
-            + onehot_t1[None, None, :] * cfg.eos_token_id
-        )
+        onehot_t1 = (jnp.arange(L) == (t + 1))[None, None, :]
+        fin_cand_tokens = jnp.where(onehot_t1, cfg.eos_token_id, src_tokens)
         all_fin_scores = jnp.concatenate([state.finished_scores, fin_cand_scores], axis=1)
         all_fin_tokens = jnp.concatenate([state.finished_tokens, fin_cand_tokens], axis=1)
-        all_fin_mask = jnp.concatenate(
-            [state.finished_mask, is_eos], axis=1
+        all_fin_components = jnp.concatenate(
+            [state.finished_components, new_components], axis=1
         )
+        all_fin_mask = jnp.concatenate([state.finished_mask, is_eos], axis=1)
         fin_top, fin_idx = jax.lax.top_k(
             jnp.where(all_fin_mask, all_fin_scores, NEG_INF), W
         )
         new_finished_tokens = jnp.take_along_axis(all_fin_tokens, fin_idx[..., None], axis=1)
-        new_finished_scores = fin_top
+        new_finished_components = jnp.take_along_axis(
+            all_fin_components, fin_idx[..., None], axis=1
+        )
         new_finished_mask = jnp.take_along_axis(all_fin_mask, fin_idx, axis=1)
 
         # ----- new alive set: best W non-EOS candidates
@@ -242,17 +267,19 @@ def joint_beam_search(
         alv_beam = jnp.take_along_axis(beam_of, alv_idx, axis=1)  # (B, W)
         alv_cand = jnp.take_along_axis(cand_of, alv_idx, axis=1)
         alv_tok = jnp.take_along_axis(tok_of, alv_idx, axis=1)
+        alv_components = jnp.take_along_axis(
+            new_components, alv_idx[..., None], axis=1
+        )
 
-        # carry over source-beam tokens, writing the chosen token at t+1
         new_alive_tokens = jnp.where(
-            (jnp.arange(L) == (t + 1))[None, None, :],
+            onehot_t1,
             alv_tok[..., None],
             jnp.take_along_axis(state.alive_tokens, alv_beam[..., None], axis=1),
         )
 
         beam_flat = (jnp.arange(B)[:, None] * W + alv_beam).reshape(BW)
         new_cache = _gather_beams(new_cache, beam_flat)
-        if lm_step is not None and cfg.lm_weight != 0.0:
+        if use_lm:
             new_lm_cache = _gather_beams(new_lm_cache, beam_flat)
 
         new_ctc_state = state.ctc_state
@@ -270,11 +297,13 @@ def joint_beam_search(
                 step=t + 1,
                 alive_tokens=new_alive_tokens,
                 alive_scores=alv_top,
+                alive_components=alv_components,
                 cache=new_cache,
                 lm_cache=new_lm_cache,
                 ctc_state=new_ctc_state,
                 finished_tokens=new_finished_tokens,
-                finished_scores=new_finished_scores,
+                finished_scores=fin_top,
+                finished_components=new_finished_components,
                 finished_mask=new_finished_mask,
             ),
             None,
@@ -289,6 +318,17 @@ def joint_beam_search(
         axis=1,
     )
     all_tokens = jnp.concatenate([state.finished_tokens, state.alive_tokens], axis=1)
+    all_components = jnp.concatenate(
+        [state.finished_components, state.alive_components], axis=1
+    )
     top, idx = jax.lax.top_k(all_scores, W)
     sequences = jnp.take_along_axis(all_tokens, idx[..., None], axis=1)
+    if cfg.return_components:
+        comps = jnp.take_along_axis(all_components, idx[..., None], axis=1)
+        components: Dict[str, jnp.ndarray] = {
+            "att": comps[..., 0],
+            "ctc": comps[..., 1],
+            "lm": comps[..., 2],
+        }
+        return sequences, top, components
     return sequences, top
