@@ -188,13 +188,14 @@ class GPT2Block(nn.Module):
         encoder_bias=None,
         deterministic=True,
         decode=False,
+        self_bias=None,
     ):
         cfg = self.config
         h = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_1")(x)
         x = x + CachedAttention(
             cfg, cross=False, dtype=self.dtype,
             decode_max_length=self.decode_max_length, name="attn",
-        )(h, deterministic=deterministic, decode=decode)
+        )(h, attention_bias=self_bias, deterministic=deterministic, decode=decode)
         if cfg.add_cross_attention and encoder_hidden is not None:
             h = nn.LayerNorm(
                 epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_cross_attn"
@@ -256,7 +257,7 @@ class GPT2MultiHeadDecoder(nn.Module):
     @nn.compact
     def __call__(
         self,
-        input_ids: jnp.ndarray,
+        input_ids: Optional[jnp.ndarray] = None,
         encoder_hidden: Optional[jnp.ndarray] = None,
         encoder_lengths: Optional[jnp.ndarray] = None,
         labels: Optional[jnp.ndarray] = None,
@@ -264,15 +265,28 @@ class GPT2MultiHeadDecoder(nn.Module):
         deterministic: bool = True,
         decode: bool = False,
         position_offset: Optional[jnp.ndarray] = None,
+        input_embeds: Optional[jnp.ndarray] = None,
+        attention_bias: Optional[jnp.ndarray] = None,
+        embeds_overlay: Optional[jnp.ndarray] = None,
+        overlay_mask: Optional[jnp.ndarray] = None,
     ) -> DecoderOutput:
         cfg = self.config
-        B, T = input_ids.shape
-
         wte = nn.Embed(
             cfg.vocab_size, cfg.n_embd, dtype=self.dtype,
             embedding_init=nn.initializers.normal(0.02), name="wte",
         )
-        x = wte(input_ids)
+        if input_embeds is not None:
+            x = input_embeds.astype(self.dtype)
+            B, T = x.shape[:2]
+        else:
+            B, T = input_ids.shape
+            x = wte(input_ids)
+        if embeds_overlay is not None:
+            # Soft-prompt/feature splicing (LLM-ASR): positions flagged in
+            # overlay_mask take externally computed embeddings.
+            x = jnp.where(
+                overlay_mask[..., None], embeds_overlay.astype(self.dtype), x
+            )
         if cfg.pos_emb_fixed:
             x = x * jnp.sqrt(cfg.n_embd).astype(self.dtype)
             table = sinusoidal_positions(cfg.n_positions, cfg.n_embd, self.dtype)
@@ -302,7 +316,8 @@ class GPT2MultiHeadDecoder(nn.Module):
         for i in range(cfg.n_layer):
             x = GPT2Block(
                 cfg, self.dtype, decode_max_length=self.decode_max_length, name=f"h_{i}"
-            )(x, encoder_hidden, encoder_bias, deterministic, decode)
+            )(x, encoder_hidden, encoder_bias, deterministic, decode,
+              self_bias=attention_bias)
             hidden_states.append(x)
         x_final = nn.LayerNorm(
             epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_f"

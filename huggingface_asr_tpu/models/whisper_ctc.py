@@ -206,4 +206,7 @@ class WhisperEncoderForCTC(nn.Module):
                 blank_id=cfg.blank_token_id,
                 reduction=cfg.ctc_loss_reduction,
             )
-        return CTCOutput(logits=logits, logit_lengths=out_lengths, loss=loss)
+        # hidden_states[-1] = the pre-head representation (LLM-ASR consumes it)
+        return CTCOutput(
+            logits=logits, logit_lengths=out_lengths, loss=loss, hidden_states=(x,)
+        )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -69,3 +70,33 @@ def make_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
     if config.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
     return tx
+
+
+def freeze_mask(params, frozen_prefixes):
+    """Trainability mask: False for params whose path starts with a frozen
+    prefix ('/'-joined keys). Covers the reference's freeze_encoder /
+    freeze_llm / freeze_asr switches (e.g. freeze 'wav2vec2/encoder',
+    'decoder', 'encoder')."""
+    import jax
+
+    def visit(path, leaf):
+        joined = "/".join(str(getattr(k, "key", k)) for k in path)
+        return not any(
+            joined == p or joined.startswith(p + "/") for p in frozen_prefixes
+        )
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def make_optimizer_with_frozen(
+    config: OptimizerConfig, params, frozen_prefixes
+) -> optax.GradientTransformation:
+    """Optimizer that applies zero updates to frozen subtrees."""
+    tx = make_optimizer(config)
+    if not frozen_prefixes:
+        return tx
+    mask = freeze_mask(params, frozen_prefixes)
+    return optax.chain(
+        optax.masked(tx, mask),
+        optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, mask)),
+    )
