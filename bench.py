@@ -49,7 +49,7 @@ def main():
     S = int(16000 * seconds)
 
     rng = np.random.default_rng(0)
-    iters = 8
+    iters = 5
     # Distinct inputs per iteration + a scalar host fetch each step: robust
     # against any transport-level result caching / lazy sync.
     batches = [
