@@ -112,17 +112,36 @@ def main(argv=None):
     )
 
     frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.num_fbanks))
-    trainer = CTCTrainer(model, build_trainer_config(training), frontend=frontend)
+    trainer_cfg = build_trainer_config(training)
 
-    collator = SpeechCollator(
-        CollatorConfig(
-            bucketing=BucketingConfig(
-                batch_size=training.per_device_train_batch_size,
-                pad_to_multiple=training.pad_to_multiple * 160,  # frames → samples
+    speed_perturb = None
+    if training.preprocessing_config:
+        import dataclasses as _dc
+
+        from huggingface_asr_tpu.data.preprocessing_config import (
+            load_preprocessing_config,
+        )
+
+        plan = load_preprocessing_config(training.preprocessing_config, training.seed)
+        speed_perturb = plan.speed_perturbation
+        if plan.spec_augment is not None:
+            trainer_cfg = _dc.replace(
+                trainer_cfg,
+                spec_augment=plan.spec_augment,
+                spec_augment_start_step=plan.spec_augment_start_step,
             )
-        ),
-        tokenizer=tokenizer,
+    trainer = CTCTrainer(model, trainer_cfg, frontend=frontend)
+
+    collator_cfg = CollatorConfig(
+        bucketing=BucketingConfig(
+            batch_size=training.per_device_train_batch_size,
+            pad_to_multiple=training.pad_to_multiple * 160,  # frames → samples
+        )
     )
+    train_collator = SpeechCollator(
+        collator_cfg, tokenizer=tokenizer, audio_transform=speed_perturb
+    )
+    collator = SpeechCollator(collator_cfg, tokenizer=tokenizer)  # eval: no augment
     train_ds = dataset[data_cfg.train_split]
     sampler = BucketedBatchSampler(
         np.asarray(train_ds[data_cfg.length_column_name], dtype=np.float64),
@@ -161,7 +180,7 @@ def main(argv=None):
     if training.start_by_eval:
         logger.info("start_by_eval: %s", eval_fn(state))
 
-    train_iter = epoch_iterator(train_ds, sampler, collator, max_steps=training.max_steps)
+    train_iter = epoch_iterator(train_ds, sampler, train_collator, max_steps=training.max_steps)
     state = trainer.fit(
         state, train_iter, eval_fn=eval_fn, hooks=[metrics_logger.log]
     )

@@ -41,15 +41,21 @@ class SpeechCollator:
     (HF tokenizers work as-is).
     """
 
-    def __init__(self, config: CollatorConfig = CollatorConfig(), tokenizer=None):
+    def __init__(self, config: CollatorConfig = CollatorConfig(), tokenizer=None,
+                 audio_transform=None):
         self.config = config
         self.tokenizer = tokenizer
+        # host-side waveform transform (e.g. SpeedPerturbation), train only
+        self.audio_transform = audio_transform
 
     def _audio_array(self, audio) -> np.ndarray:
         if isinstance(audio, dict):
             audio = audio.get("array", audio)
         arr = np.asarray(audio, dtype=np.float32)
-        return np.trim_zeros(arr)
+        arr = np.trim_zeros(arr)
+        if self.audio_transform is not None:
+            arr = self.audio_transform(arr)
+        return arr
 
     def _encode(self, text: str) -> List[int]:
         ids = self.tokenizer.encode(text)

@@ -63,6 +63,8 @@ class GeneralTrainingArguments:
     preprocess_dataset_only: bool = False
     report_to_wandb: bool = False
     apply_spec_augment: bool = True
+    # reference-style preprocessing JSON (configs/default_data_preprocessing*.json)
+    preprocessing_config: Optional[str] = None
     pad_to_multiple: int = 100  # mel frames (recipes use ×100)
     profile_steps: int = 0  # capture a jax.profiler trace for N steps
     track_ctc_loss: bool = False

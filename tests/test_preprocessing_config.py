@@ -1,0 +1,69 @@
+"""Reference-schema preprocessing JSON loading + speed perturbation."""
+
+import json
+
+import numpy as np
+
+from huggingface_asr_tpu.data.augment import SpeedPerturbation, SpeedPerturbationConfig
+from huggingface_asr_tpu.data.preprocessing_config import load_preprocessing_config
+
+
+def test_speed_perturbation_changes_length():
+    sp = SpeedPerturbation(SpeedPerturbationConfig(factors=(0.9,)), seed=0)
+    x = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    y = sp(x)
+    # speed 0.9 -> longer signal (resampled by 1/0.9)
+    assert abs(len(y) - 16000 / 0.9) < 100
+
+
+def test_speed_perturbation_identity():
+    sp = SpeedPerturbation(SpeedPerturbationConfig(factors=(1.0,)), seed=0)
+    x = np.ones(1000, np.float32)
+    np.testing.assert_array_equal(sp(x), x)
+
+
+def test_load_reference_schema(tmp_path):
+    # exact schema of configs/default_data_preprocessing2d.json
+    cfg = {
+        "train": [
+            {"name": "torchaudio.transforms.SpeedPerturbation",
+             "params": {"orig_freq": 16000, "factors": [0.9, 1.0, 1.1]},
+             "steps_before_activation": 0, "return_behaviour": [0],
+             "fn_call_params": {}},
+            {"name": "feature_extractor", "steps_before_activation": 0,
+             "fn_call_params": {"return_attention_mask": False, "padding": False,
+                                "sampling_rate": 16000, "return_tensors": "pt"},
+             "return_behaviour": ["input_features[0]"]},
+            {"name": "augmentations.spec_aug.SpecAug",
+             "params": {"apply_time_warp": True, "time_warp_window": 5,
+                        "time_warp_mode": "bicubic", "apply_freq_mask": True,
+                        "freq_mask_width_range": [0, 27], "num_freq_mask": 2,
+                        "apply_time_mask": True,
+                        "time_mask_width_ratio_range": [0, 0.05],
+                        "num_time_mask": 5},
+             "steps_before_activation": 100, "fn_call_params": {},
+             "return_behaviour": [0]},
+        ],
+        "default_preprocessing": [
+            {"name": "feature_extractor", "steps_before_activation": 0,
+             "fn_call_params": {}, "return_behaviour": ["input_features[0]"]},
+        ],
+    }
+    path = tmp_path / "prep.json"
+    path.write_text(json.dumps(cfg))
+    plan = load_preprocessing_config(str(path))
+    assert plan.speed_perturbation is not None
+    assert plan.spec_augment is not None
+    assert plan.spec_augment.freq_mask_width_range == (0, 27)
+    assert plan.spec_augment.num_time_mask == 5
+    assert plan.spec_augment.time_mask_width_ratio_range == (0, 0.05)
+    assert plan.spec_augment_start_step == 100
+    assert plan.featurize_on_device
+
+
+def test_load_actual_reference_config():
+    plan = load_preprocessing_config(
+        "/root/reference/configs/default_data_preprocessing2d.json"
+    )
+    assert plan.speed_perturbation is not None
+    assert plan.spec_augment is not None and plan.spec_augment.num_freq_mask == 2
