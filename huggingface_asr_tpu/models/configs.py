@@ -40,6 +40,9 @@ class EBranchformerConfig:
     # False keeps scores in the compute dtype (bf16) — halves the HBM traffic
     # of the (B,H,T,T) score tensors for serving.
     attention_softmax_fp32: bool = True
+    # "xla" | "pallas": pallas = fused VMEM-resident rel-pos attention kernel
+    # (inference path; relative positions, non-causal).
+    attention_impl: str = "xla"
     # Positional embeddings: "relative" | "rotary" | "none"
     position_embeddings_type: str = "relative"
     max_source_positions: int = 5000

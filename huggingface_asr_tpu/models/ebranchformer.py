@@ -160,7 +160,8 @@ class EBranchformerSelfAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attention_bias=None, pos_emb=None, deterministic=True):
+    def __call__(self, x, attention_bias=None, pos_emb=None, deterministic=True,
+                 lengths=None):
         cfg = self.config
         B, T, D = x.shape
         H, dh = cfg.num_attention_heads, cfg.head_size
@@ -184,6 +185,19 @@ class EBranchformerSelfAttention(nn.Module):
             bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, dh), jnp.float32)
             q_u = q + bias_u.astype(self.dtype)
             q_v = q + bias_v.astype(self.dtype)
+
+            use_pallas = (
+                cfg.attention_impl == "pallas"
+                and deterministic
+                and not cfg.is_causal
+                and lengths is not None
+            )
+            if use_pallas:
+                from huggingface_asr_tpu.ops.pallas_attention import rel_attention
+
+                out = rel_attention(q_u, q_v, k, v, pos, lengths).reshape(B, T, D)
+                return nn.Dense(D, dtype=self.dtype, name="linear_out")(out)
+
             scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
             # Transformer-XL positional term computed by gathering the pos
             # table to (T, T, H, dh) once and contracting directly — avoids
@@ -270,7 +284,8 @@ class EBranchformerEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attention_bias=None, pos_emb=None, deterministic=True):
+    def __call__(self, x, attention_bias=None, pos_emb=None, deterministic=True,
+                 lengths=None):
         cfg = self.config
         drop = lambda h: nn.Dropout(cfg.attention_dropout)(h, deterministic=deterministic)
 
@@ -283,7 +298,7 @@ class EBranchformerEncoderLayer(nn.Module):
         g = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="self_attn_layer_norm")(x)
         g = EBranchformerSelfAttention(cfg, self.dtype, name="self_attn")(
-            g, attention_bias, pos_emb, deterministic
+            g, attention_bias, pos_emb, deterministic, lengths=lengths
         )
         g = drop(g)
 
@@ -317,7 +332,8 @@ class EBranchformerEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic=True, output_hidden_states=False):
+    def __call__(self, x, mask=None, deterministic=True, output_hidden_states=False,
+                 lengths=None):
         cfg = self.config
         B, T, D = x.shape
 
@@ -339,7 +355,7 @@ class EBranchformerEncoder(nn.Module):
             if output_hidden_states:
                 all_hidden.append(x)
             x = EBranchformerEncoderLayer(cfg, self.dtype, name=f"layers_{i}")(
-                x, attention_bias, pos_emb, deterministic
+                x, attention_bias, pos_emb, deterministic, lengths=lengths
             )
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
         if output_hidden_states:
@@ -396,7 +412,7 @@ class EBranchformerModel(nn.Module):
         mask = lengths_to_mask(out_lengths, hidden.shape[1])
 
         last, all_hidden = EBranchformerEncoder(cfg, self.dtype, name="encoder")(
-            hidden, mask, deterministic, output_hidden_states
+            hidden, mask, deterministic, output_hidden_states, lengths=out_lengths
         )
         return EncoderOutput(
             last_hidden_state=last,
