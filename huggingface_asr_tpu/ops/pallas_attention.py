@@ -32,7 +32,7 @@ NEG_INF = -1.0e9
 
 
 def _rel_attn_kernel(len_ref, qu_ref, qv_ref, k_ref, v_ref, posr_ref, o_ref, *, T, dh):
-    """One (batch, head) attention. posr = REVERSED pos table (2T-1, dh)."""
+    """One (batch, head) attention. posr = REVERSED pos table padded to (2T, dh)."""
     qu = qu_ref[0, 0]
     qv = qv_ref[0, 0]
     k = k_ref[0, 0]
@@ -43,22 +43,28 @@ def _rel_attn_kernel(len_ref, qu_ref, qv_ref, k_ref, v_ref, posr_ref, o_ref, *, 
     )  # (T, T)
 
     bd_full = jax.lax.dot_general(
-        qv, posr_ref[:, 0, :], (((1,), (1,)), ((), ())),
+        qv, posr_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (T, 2T-1) against reversed table
+    )  # (T, 2T) against the reversed (padded) table
 
     # Row t of the positional term = bd_full[t, (T-1-t) : (2T-1-t)].
-    def extract_row(t, acc):
-        row = jax.lax.dynamic_slice(bd_full, (t, T - 1 - t), (1, T))
-        return jax.lax.dynamic_update_slice(acc, row, (t, 0))
+    # Per-row dynamic lane slices don't lower on TPU, so apply the row shift
+    # as a BARREL SHIFTER: log2(T) masked circular rolls (no wraparound
+    # reaches the first T lanes since shifts are < T).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * T), 0)
+    shift = (T - 1) - rows  # desired left-shift per row
+    band = bd_full
+    j = 1
+    while j < T:
+        # left-shift by j == circular right-shift by 2T - j (roll requires >=0)
+        rolled = pltpu.roll(band, 2 * T - j, axis=1)
+        bit = (shift & j) != 0
+        band = jnp.where(bit, rolled, band)
+        j <<= 1
 
-    bd = jax.lax.fori_loop(
-        0, T, extract_row, jnp.zeros((T, T), jnp.float32)
-    )
+    scores = (ac + band[:, :T]) * (1.0 / np.sqrt(dh).astype(np.float32))
 
-    scores = (ac + bd) * (1.0 / np.sqrt(dh).astype(np.float32))
-
-    length = len_ref[0, 0]
+    length = len_ref[pl.program_id(0)]
     col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     scores = jnp.where(col < length, scores, NEG_INF)
 
@@ -83,28 +89,32 @@ def rel_attention(
 ) -> jnp.ndarray:
     """Returns (B, T, H, dh). T should be a multiple of 8 for best tiling."""
     B, T, H, dh = q_u.shape
-    pos_rev = pos[::-1]  # (2T-1, H, dh)
+    # reversed table, padded by one zero row to an even 2T lanes
+    pos_rev = jnp.concatenate(
+        [pos[::-1], jnp.zeros((1,) + pos.shape[1:], pos.dtype)], axis=0
+    ).transpose(1, 0, 2)  # (H, 2T, dh)
 
     def bh(x):  # (B, T, H, dh) -> (B, H, T, dh)
         return x.transpose(0, 2, 1, 3)
 
-    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
-
-    out = pl.pallas_call(
-        partial(_rel_attn_kernel, T=T, dh=dh),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # lengths (B,) land in SMEM, indexed by program_id
         grid=(B, H),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((2 * T - 1, 1, dh), lambda b, h: (0, h, 0)),
+            pl.BlockSpec((1, 1, T, dh), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, dh), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, dh), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, dh), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 2 * T, dh), lambda b, h, *_: (h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, T, dh), lambda b, h, *_: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_rel_attn_kernel, T=T, dh=dh),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, dh), q_u.dtype),
         interpret=interpret,
-    )(lengths2d, bh(q_u), bh(q_v), bh(k), bh(v), pos_rev)
+    )(lengths.astype(jnp.int32), bh(q_u), bh(q_v), bh(k), bh(v), pos_rev)
     return out.transpose(0, 2, 1, 3)
 
 
