@@ -83,7 +83,7 @@ def main():
             {
                 "metric": "ebranchformer_ctc_infer_rtfx",
                 "value": round(rtfx, 1),
-                "unit": "audio-sec/sec/chip (B=64, 10s utts, mel+encoder+greedy fused)",
+                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+encoder+greedy fused)",
                 "vs_baseline": round(rtfx / A100_RTFX_ESTIMATE, 3),
             }
         )
