@@ -55,6 +55,10 @@ class BeamSearchConfig:
     space_token_id: int = -1
     eos_space_trick_weight: float = 1.0
     return_components: bool = False  # also return att/ctc/lm score breakdown
+    # Candidate preselection over the (BW, V) scores with TPU-native
+    # approx_max_k (exact top_k sorts and dominates the step at vocab ≥ 5k).
+    approx_candidate_topk: bool = True
+    approx_topk_recall: float = 0.99
 
 
 class _BeamState(NamedTuple):
@@ -156,7 +160,13 @@ def joint_beam_search(
             select_scores = att + cfg.lm_weight * lm_lp
 
         # Per-beam candidates = top-(K-1) of the non-CTC score ∪ {eos}.
-        top_sel, cand_ids = jax.lax.top_k(select_scores, K - 1)
+        if cfg.approx_candidate_topk:
+            top_sel, cand_ids = jax.lax.approx_max_k(
+                select_scores, K - 1, recall_target=cfg.approx_topk_recall
+            )
+            cand_ids = cand_ids.astype(jnp.int32)
+        else:
+            top_sel, cand_ids = jax.lax.top_k(select_scores, K - 1)
         has_eos = jnp.any(cand_ids == cfg.eos_token_id, axis=-1, keepdims=True)
         eos_col = jnp.full((BW, 1), cfg.eos_token_id, jnp.int32)
         cand_ids = jnp.concatenate([cand_ids, eos_col], axis=1)  # (BW, K)

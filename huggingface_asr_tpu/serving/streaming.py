@@ -11,6 +11,11 @@ final transcript prefix at each step; emitted tokens never retract.
 
 The prefix is padded up to bucket lengths so the session cycles through a
 small fixed set of compiled shapes.
+
+NOTE: exact prefix stability additionally requires a streaming-safe
+normalization — use a ``LogMelFrontEnd`` with ``norm_type="global"`` (fixed
+per-bin stats). Per-utterance CMVN recomputes statistics over the growing
+prefix, which perturbs earlier frames' features between feeds.
 """
 
 from __future__ import annotations

@@ -122,3 +122,34 @@ def test_repeated_token_uses_blank_path():
     s2, _ = ours.score_candidates(state1, cand)
     # "2" again is much less likely than it was (needs blank between)
     assert float(s2[0, 2]) < float(s1[0, 2]) - 2.0
+
+
+def test_assoc_equals_sequential_scan():
+    """Associative-scan forward == sequential lax.scan forward."""
+    B, T, V, W = 2, 31, 7, 3  # odd T exercises scan padding
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((B, T, V)).astype(np.float32) * 2
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    xlens = np.array([31, 22])
+    blank, eos = V - 1, 1
+
+    s_a = CTCPrefixScorer(jnp.asarray(lp), jnp.asarray(xlens), blank, eos, impl="assoc")
+    s_s = CTCPrefixScorer(jnp.asarray(lp), jnp.asarray(xlens), blank, eos, impl="scan")
+    cand = jnp.tile(jnp.arange(V)[None], (B * W, 1))
+
+    st_a, st_s = s_a.init_state(W), s_s.init_state(W)
+    sc_a, scored_a = s_a.score_candidates(st_a, cand)
+    sc_s, scored_s = s_s.score_candidates(st_s, cand)
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_s), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(scored_a[0]), np.asarray(scored_s[0]), rtol=1e-3, atol=1e-3
+    )
+
+    # a second step after state selection
+    chosen = jnp.asarray([2, 3, 4, 2, 3, 0])
+    beams = jnp.arange(B * W)
+    st_a = s_a.select_state(st_a, scored_a, beams, chosen, chosen)
+    st_s = s_s.select_state(st_s, scored_s, beams, chosen, chosen)
+    sc_a2, _ = s_a.score_candidates(st_a, cand)
+    sc_s2, _ = s_s.score_candidates(st_s, cand)
+    np.testing.assert_allclose(np.asarray(sc_a2), np.asarray(sc_s2), rtol=1e-4, atol=2e-4)
