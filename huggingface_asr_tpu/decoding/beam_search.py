@@ -76,12 +76,21 @@ class _BeamState(NamedTuple):
 
 
 def _gather_beams(tree, beam_idx_flat):
-    """Reorder (B*W, ...) pytree leaves by flat beam indices."""
-    return jax.tree.map(
-        lambda x: x[beam_idx_flat] if hasattr(x, "shape") and x.ndim >= 1 and
-        x.shape[0] == beam_idx_flat.shape[0] else x,
-        tree,
-    )
+    """Reorder (B*W, ...) pytree leaves by flat beam indices.
+
+    Encoder K/V caches ("cached_enc_*") are identical across the beams of a
+    batch element (beam indices only permute within a batch group), so
+    gathering them would be a large no-op copy — skip them.
+    """
+
+    def visit(path, x):
+        if any("cached_enc" in str(getattr(k, "key", k)) for k in path):
+            return x
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == beam_idx_flat.shape[0]:
+            return x[beam_idx_flat]
+        return x
+
+    return jax.tree_util.tree_map_with_path(visit, tree)
 
 
 def joint_beam_search(

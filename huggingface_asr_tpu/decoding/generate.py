@@ -50,7 +50,16 @@ def build_decoder_step(
         decode=True,
         position_offset=jnp.zeros((BW,), jnp.int32),
     )
-    init_cache = init_vars["cache"]
+    # Populate each layer's encoder K/V cache ONCE (the per-step cross
+    # c_attn recompute otherwise dominates beam-search FLOPs).
+    _, kv_vars = module.apply(
+        {"params": decoder_params, "cache": init_vars["cache"]},
+        None,
+        encoder_hidden=encoder_hidden,
+        cross_kv_mode="write",
+        mutable=["cache"],
+    )
+    init_cache = kv_vars["cache"]
 
     def step(cache, tokens, positions):
         out, vars_out = module.apply(
@@ -61,6 +70,7 @@ def build_decoder_step(
             deterministic=True,
             decode=True,
             position_offset=positions,
+            cross_kv_mode="read",
             mutable=["cache"],
         )
         return out.logits[:, -1, :], vars_out["cache"]

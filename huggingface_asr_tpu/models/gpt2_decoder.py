@@ -103,15 +103,37 @@ class CachedAttention(nn.Module):
         attention_bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         decode: bool = False,
-    ) -> jnp.ndarray:
+        cross_kv_mode: Optional[str] = None,  # None | "write" | "read"
+    ) -> Optional[jnp.ndarray]:
         cfg = self.config
         B, Tq, D = x.shape
         H, dh = cfg.n_head, cfg.head_dim
 
-        if self.cross:
-            q = nn.Dense(D, dtype=self.dtype, name="q_attn")(x)
+        if self.cross and cross_kv_mode == "write":
+            # Precompute encoder K/V ONCE per utterance into the cache —
+            # recomputing c_attn(encoder_hidden) at every decode step is the
+            # dominant FLOP cost of beam search otherwise.
             kv = nn.Dense(2 * D, dtype=self.dtype, name="c_attn")(kv_source)
             k, v = jnp.split(kv, 2, axis=-1)
+            S = kv_source.shape[1]
+            self.variable(
+                "cache", "cached_enc_key", lambda: k.reshape(B, S, H, dh)
+            ).value = k.reshape(B, S, H, dh)
+            self.variable(
+                "cache", "cached_enc_value", lambda: v.reshape(B, S, H, dh)
+            ).value = v.reshape(B, S, H, dh)
+            return None
+
+        if self.cross:
+            q = nn.Dense(D, dtype=self.dtype, name="q_attn")(x)
+            if cross_kv_mode == "read":
+                k = self.get_variable("cache", "cached_enc_key")
+                v = self.get_variable("cache", "cached_enc_value")
+                k = k.reshape(B, -1, H * dh)
+                v = v.reshape(B, -1, H * dh)
+            else:
+                kv = nn.Dense(2 * D, dtype=self.dtype, name="c_attn")(kv_source)
+                k, v = jnp.split(kv, 2, axis=-1)
         else:
             qkv = nn.Dense(3 * D, dtype=self.dtype, name="c_attn")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -189,20 +211,28 @@ class GPT2Block(nn.Module):
         deterministic=True,
         decode=False,
         self_bias=None,
+        cross_kv_mode=None,
     ):
         cfg = self.config
+        if cross_kv_mode == "write":
+            CachedAttention(cfg, cross=True, dtype=self.dtype, name="crossattention")(
+                x, kv_source=encoder_hidden, cross_kv_mode="write",
+            )
+            return x
         h = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_1")(x)
         x = x + CachedAttention(
             cfg, cross=False, dtype=self.dtype,
             decode_max_length=self.decode_max_length, name="attn",
         )(h, attention_bias=self_bias, deterministic=deterministic, decode=decode)
-        if cfg.add_cross_attention and encoder_hidden is not None:
+        if cfg.add_cross_attention and (
+            encoder_hidden is not None or cross_kv_mode == "read"
+        ):
             h = nn.LayerNorm(
                 epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_cross_attn"
             )(x)
             x = x + CachedAttention(cfg, cross=True, dtype=self.dtype, name="crossattention")(
                 h, kv_source=encoder_hidden, attention_bias=encoder_bias,
-                deterministic=deterministic,
+                deterministic=deterministic, cross_kv_mode=cross_kv_mode,
             )
         h = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(cfg.inner_dim, dtype=self.dtype, name="mlp_c_fc")(h)
@@ -269,8 +299,18 @@ class GPT2MultiHeadDecoder(nn.Module):
         attention_bias: Optional[jnp.ndarray] = None,
         embeds_overlay: Optional[jnp.ndarray] = None,
         overlay_mask: Optional[jnp.ndarray] = None,
-    ) -> DecoderOutput:
+        cross_kv_mode: Optional[str] = None,
+    ) -> Optional[DecoderOutput]:
         cfg = self.config
+        if cross_kv_mode == "write":
+            # One-shot pass populating each layer's encoder K/V cache.
+            dummy = jnp.zeros((encoder_hidden.shape[0], 1, cfg.n_embd), self.dtype)
+            for i in range(cfg.n_layer):
+                GPT2Block(
+                    cfg, self.dtype, decode_max_length=self.decode_max_length,
+                    name=f"h_{i}",
+                )(dummy, encoder_hidden, None, True, False, cross_kv_mode="write")
+            return None
         wte = nn.Embed(
             cfg.vocab_size, cfg.n_embd, dtype=self.dtype,
             embedding_init=nn.initializers.normal(0.02), name="wte",
@@ -316,8 +356,9 @@ class GPT2MultiHeadDecoder(nn.Module):
         for i in range(cfg.n_layer):
             x = GPT2Block(
                 cfg, self.dtype, decode_max_length=self.decode_max_length, name=f"h_{i}"
-            )(x, encoder_hidden, encoder_bias, deterministic, decode,
-              self_bias=attention_bias)
+            )(x, encoder_hidden if cross_kv_mode != "read" else None,
+              encoder_bias, deterministic, decode,
+              self_bias=attention_bias, cross_kv_mode=cross_kv_mode)
             hidden_states.append(x)
         x_final = nn.LayerNorm(
             epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_f"
