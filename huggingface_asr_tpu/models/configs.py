@@ -43,6 +43,10 @@ class EBranchformerConfig:
     # "xla" | "pallas": pallas = fused VMEM-resident rel-pos attention kernel
     # (inference path; relative positions, non-causal).
     attention_impl: str = "xla"
+    # Rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # trades ~30% step FLOPs for O(layers) activation memory — the lever for
+    # scaling batch size / sequence length.
+    remat: bool = False
     # Positional embeddings: "relative" | "rotary" | "none"
     position_embeddings_type: str = "relative"
     max_source_positions: int = 5000

@@ -350,12 +350,17 @@ class EBranchformerEncoder(nn.Module):
         elif cfg.position_embeddings_type == "rotary":
             pos_emb = rotary_cos_sin(T, cfg.head_size, cfg.rotary_embedding_base, self.dtype)
 
+        layer_cls = EBranchformerEncoderLayer
+        if cfg.remat:
+            # static_argnums counts self=0: deterministic is argument 4.
+            layer_cls = nn.remat(EBranchformerEncoderLayer, static_argnums=(4,))
+
         all_hidden = [] if output_hidden_states else None
         for i in range(cfg.num_hidden_layers):
             if output_hidden_states:
                 all_hidden.append(x)
-            x = EBranchformerEncoderLayer(cfg, self.dtype, name=f"layers_{i}")(
-                x, attention_bias, pos_emb, deterministic, lengths=lengths
+            x = layer_cls(cfg, self.dtype, name=f"layers_{i}")(
+                x, attention_bias, pos_emb, deterministic, lengths
             )
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
         if output_hidden_states:

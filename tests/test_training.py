@@ -101,3 +101,37 @@ def test_eval_step_decodes(mesh8):
     out = trainer.eval_step(state.params, batch)
     assert out["tokens"].shape[0] == 8
     assert np.all(np.asarray(out["token_lengths"]) >= 0)
+
+
+def test_remat_matches_no_remat(mesh8):
+    """Gradient checkpointing must not change loss or gradients."""
+    import dataclasses
+
+    cfg_plain = TINY
+    cfg_remat = dataclasses.replace(TINY, remat=True)
+    batch = _batch()
+    import jax.numpy as jnp
+    from huggingface_asr_tpu.ops.ctc import ctc_loss  # noqa
+
+    feats = jnp.asarray(
+        np.random.default_rng(9).standard_normal((4, 50, 80)), jnp.float32
+    )
+    lens = jnp.full((4,), 50, jnp.int32)
+    labels = jnp.asarray(np.random.default_rng(9).integers(0, 30, (4, 5)), jnp.int32)
+    llens = jnp.full((4,), 5, jnp.int32)
+
+    m0 = EBranchformerForCTC(cfg_plain)
+    m1 = EBranchformerForCTC(cfg_remat)
+    params = m0.init(jax.random.key(0), feats, lens)["params"]
+
+    def loss(m):
+        def f(p):
+            return m.apply({"params": p}, feats, lens, labels=labels,
+                           label_lengths=llens).loss
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params)
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
