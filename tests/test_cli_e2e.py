@@ -128,3 +128,57 @@ def test_train_clm_e2e(tiny_corpus, tokenizer_dir, tmp_path):
         "--dataset_name", tiny_corpus, "--load_from_disk", "--no-do_resample",
         "--tokenizer_name", tokenizer_dir, "--output_dir", out,
     ])
+
+
+def test_evaluate_and_serving_from_saved_checkpoint(tiny_corpus, tokenizer_dir, tmp_path):
+    """train_ctc → saved final checkpoint → evaluate CLI → ASRPipeline."""
+    from huggingface_asr_tpu.cli.train_ctc import main as train_main
+
+    model_cfg = {
+        "hidden_size": 32, "num_hidden_layers": 1, "num_attention_heads": 2,
+        "intermediate_size": 64, "conv_dim": [8, 8], "conv_kernel": [3, 3],
+        "conv_stride": [2, 2], "conv_padding": [1, 1],
+        "hidden_dropout": 0.0, "attention_dropout": 0.0,
+    }
+    cfg_path = tmp_path / "model.json"
+    cfg_path.write_text(json.dumps(model_cfg))
+    out = str(tmp_path / "ckpt_out")
+    train_main([
+        "--dataset_name", tiny_corpus, "--load_from_disk", "--no-do_resample",
+        "--tokenizer_name", tokenizer_dir, "--model_config", str(cfg_path),
+        "--dtype", "float32", "--output_dir", out,
+        "--per_device_train_batch_size", "8", "--per_device_eval_batch_size", "4",
+        "--max_steps", "2", "--logging_steps", "2", "--eval_steps", "100",
+        "--save_steps", "2", "--warmup_steps", "1",
+        "--max_duration_in_seconds", "2", "--pad_to_multiple", "25",
+    ])
+    final = os.path.join(out, "final")
+    assert os.path.exists(os.path.join(final, "config.json"))
+
+    # ---- standalone evaluate CLI on the saved checkpoint
+    from huggingface_asr_tpu.cli.evaluate import main as eval_main
+
+    eval_out = str(tmp_path / "eval_out")
+    results = eval_main([
+        "--dataset_name", tiny_corpus, "--load_from_disk", "--no-do_resample",
+        "--tokenizer_name", tokenizer_dir,
+        "--from_pretrained", final,
+        "--model_type", "ctc", "--dtype", "float32",
+        "--output_dir", eval_out, "--batch_size", "4",
+    ])
+    assert "test" in results
+    assert np.isfinite(results["test"].metrics["wer"])
+    assert os.path.exists(os.path.join(eval_out, "predictions_test.csv"))
+
+    # ---- serving pipeline over the same checkpoint
+    from huggingface_asr_tpu.serving.pipeline import ASRPipeline
+
+    pipe = ASRPipeline(
+        final, tokenizer_dir=tokenizer_dir, model_type="ctc", dtype="float32",
+        length_buckets=(0.5, 1.0),
+    )
+    rng = np.random.default_rng(11)
+    text = pipe(rng.standard_normal(6000).astype(np.float32) * 0.1)
+    assert isinstance(text, str)
+    texts = pipe([rng.standard_normal(5000).astype(np.float32) * 0.1] * 2)
+    assert isinstance(texts, list) and len(texts) == 2
