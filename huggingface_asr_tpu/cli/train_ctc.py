@@ -63,6 +63,7 @@ def build_trainer_config(training: GeneralTrainingArguments) -> TrainerConfig:
             adam_beta2=training.adam_beta2,
             adam_epsilon=training.adam_epsilon,
             max_grad_norm=training.max_grad_norm,
+            gradient_accumulation_steps=training.gradient_accumulation_steps,
         ),
         mesh=MeshConfig(fsdp=training.fsdp),
         spec_augment=SpecAugmentConfig() if training.apply_spec_augment else None,

@@ -55,6 +55,12 @@ class BeamSearchConfig:
     space_token_id: int = -1
     eos_space_trick_weight: float = 1.0
     return_components: bool = False  # also return att/ctc/lm score breakdown
+    # Stop decoding once every batch element is provably done (HF
+    # stopping-criteria analogue): finished set full AND no alive beam can
+    # still beat the worst finished score under the length penalty. Saves
+    # most of the wall-clock on short utterances (the scan otherwise always
+    # runs max_length-1 steps). Result-identical to the full scan (tested).
+    early_exit: bool = True
     # Candidate preselection over the (BW, V) scores with TPU-native
     # approx_max_k (exact top_k sorts and dominates the step at vocab ≥ 5k).
     approx_candidate_topk: bool = True
@@ -328,7 +334,30 @@ def joint_beam_search(
             None,
         )
 
-    state, _ = jax.lax.scan(one_step, state, None, length=L - 1)
+    if cfg.early_exit:
+
+        def not_done(s: _BeamState):
+            t = s.step
+            best_alive = jnp.max(s.alive_scores, axis=1)  # (B,) raw sums
+            # Best attainable penalized score for any continuation: future
+            # log-prob increments are <= 0, so the raw sum only decreases;
+            # the penalized value sum/len**p is maximized either now
+            # (len = t+2, for positive sums) or at max length (len = L, for
+            # negative sums). Taking the max of both covers either sign —
+            # conservative, so early exit is result-identical to the full
+            # scan (HF's early_stopping="never" bound).
+            lp_now = (t + 2).astype(jnp.float32) ** cfg.length_penalty
+            lp_max = jnp.float32(L) ** cfg.length_penalty
+            bound = jnp.maximum(best_alive / lp_now, best_alive / lp_max)
+            worst_fin = jnp.min(
+                jnp.where(s.finished_mask, s.finished_scores, NEG_INF), axis=1
+            )
+            done = jnp.all(s.finished_mask, axis=1) & (worst_fin >= bound)
+            return (t < L - 1) & ~jnp.all(done)
+
+        state = jax.lax.while_loop(not_done, lambda s: one_step(s, None)[0], state)
+    else:
+        state, _ = jax.lax.scan(one_step, state, None, length=L - 1)
 
     # Finalize: fold still-alive beams in for batches with open slots.
     alive_final = state.alive_scores / (jnp.float32(L) ** cfg.length_penalty)

@@ -60,6 +60,9 @@ class EBranchformerConfig:
     conv_padding: Tuple[int, ...] = (1, 1)
     feat_extract_activation: str = "gelu"
     context_awareness_type: Optional[str] = None  # None | "gated" | "gated_shared"
+    # gated_shared: one gate frame modulates this many conv output frames
+    # (reference GatedConv2dShared, extractors.py:35-56).
+    shared_scale_factor: int = 4
 
     # E-Branchformer specifics
     csgu_kernel_size: int = 31

@@ -74,6 +74,14 @@ def feat_extract_output_lengths(config: EBranchformerConfig, input_lengths):
     return lengths
 
 
+def _winit(cfg):
+    """HF-matching Linear init (normal, std=initializer_range; reference
+    inherits transformers Wav2Vec2PreTrainedModel._init_weights). Flax's
+    lecun_normal default produces ~100x larger initial CTC gradients at these
+    widths, which trips the grad-norm guard on every from-scratch step."""
+    return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
 class Conv2dFeatureExtractor(nn.Module):
     """Stack of 2-D convs over (B, T, F) mel input + flatten + Linear → hidden.
 
@@ -104,6 +112,35 @@ class Conv2dFeatureExtractor(nn.Module):
                     name=f"gate_{i}",
                 )
                 x = conv(x) * jax.nn.sigmoid(gate(x))
+            elif cfg.context_awareness_type == "gated_shared":
+                # One gate frame modulates `f` consecutive conv frames: the
+                # gate conv runs at f× the kernel/stride/padding in time
+                # (reference GatedConv2dShared, extractors.py:35-56).
+                f = cfg.shared_scale_factor
+                gpad = (
+                    [(k * f - 1, 0), (k - 1, 0)]
+                    if cfg.is_causal
+                    else [(p * f, p * f), (p, p)]
+                )
+                gate = nn.Conv(
+                    out_ch, (k * f, k), strides=(s * f, s), padding=gpad,
+                    dtype=self.dtype, name=f"gate_{i}",
+                )
+                c = conv(x)
+                g = jax.nn.sigmoid(gate(x))
+                B_, Tc, F_, C_ = c.shape
+                if Tc != g.shape[1] * f:
+                    raise ValueError(
+                        f"gated_shared needs conv time {Tc} == gate time "
+                        f"{g.shape[1]} x {f}; pad inputs to a multiple of "
+                        f"{f} post-conv frames"
+                    )
+                c = c.reshape(B_, g.shape[1], f, F_, C_) * g[:, :, None]
+                x = c.reshape(B_, Tc, F_, C_)
+            elif cfg.context_awareness_type not in (None, "none"):
+                raise ValueError(
+                    f"unknown context_awareness_type {cfg.context_awareness_type!r}"
+                )
             else:
                 x = conv(x)
             x = act(x)
@@ -111,7 +148,7 @@ class Conv2dFeatureExtractor(nn.Module):
         # the reference's flatten of (B, T', C, F').
         B, T, F, C = x.shape
         x = x.transpose(0, 1, 3, 2).reshape(B, T, C * F)
-        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(x)
+        return nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=_winit(cfg), name="out")(x)
 
 
 class FeatureProjection(nn.Module):
@@ -144,15 +181,6 @@ def rotary_cos_sin(seq_len: int, head_size: int, base: int = 10000, dtype=jnp.fl
     return jnp.asarray(np.cos(emb), dtype), jnp.asarray(np.sin(emb), dtype)
 
 
-def _rel_shift(scores_bd: jnp.ndarray) -> jnp.ndarray:
-    """Transformer-XL shift: (B, H, T, 2T-1) -> (B, H, T, T)."""
-    B, H, T, L = scores_bd.shape
-    padded = jnp.pad(scores_bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    padded = padded.reshape(B, H, L + 1, T)
-    shifted = padded[:, :, 1:].reshape(B, H, T, L)
-    return shifted[..., : L // 2 + 1]
-
-
 class EBranchformerSelfAttention(nn.Module):
     """Multi-head self-attention with relative/rotary positions + causal option."""
 
@@ -174,12 +202,12 @@ class EBranchformerSelfAttention(nn.Module):
             rotated = jnp.concatenate([-h2, h1], axis=-1)
             qk_in = (h * cos[None, :, None, :] + rotated * sin[None, :, None, :]).reshape(B, T, D)
 
-        q = nn.Dense(D, dtype=self.dtype, name="linear_q")(qk_in).reshape(B, T, H, dh)
-        k = nn.Dense(D, dtype=self.dtype, name="linear_k")(qk_in).reshape(B, T, H, dh)
-        v = nn.Dense(D, dtype=self.dtype, name="linear_v")(x).reshape(B, T, H, dh)
+        q = nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_q")(qk_in).reshape(B, T, H, dh)
+        k = nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_k")(qk_in).reshape(B, T, H, dh)
+        v = nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_v")(x).reshape(B, T, H, dh)
 
         if cfg.position_embeddings_type == "relative":
-            pos = nn.Dense(D, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb)
+            pos = nn.Dense(D, use_bias=False, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_pos")(pos_emb)
             pos = pos.reshape(-1, H, dh)  # (2T-1, H, dh)
             bias_u = self.param("pos_bias_u", nn.initializers.zeros, (H, dh), jnp.float32)
             bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, dh), jnp.float32)
@@ -196,7 +224,7 @@ class EBranchformerSelfAttention(nn.Module):
                 from huggingface_asr_tpu.ops.pallas_attention import rel_attention
 
                 out = rel_attention(q_u, q_v, k, v, pos, lengths).reshape(B, T, D)
-                return nn.Dense(D, dtype=self.dtype, name="linear_out")(out)
+                return nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_out")(out)
 
             scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
             # Transformer-XL positional term computed by gathering the pos
@@ -229,7 +257,7 @@ class EBranchformerSelfAttention(nn.Module):
         probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
 
         out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
-        return nn.Dense(D, dtype=self.dtype, name="linear_out")(out)
+        return nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_out")(out)
 
 
 class FeedForward(nn.Module):
@@ -239,10 +267,10 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.config
-        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=_winit(cfg), name="intermediate_dense")(x)
         x = ACT[cfg.hidden_act](x)
         x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
-        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=_winit(cfg), name="output_dense")(x)
         return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
 
@@ -262,7 +290,7 @@ class ConvolutionalSpatialGatingUnit(nn.Module):
             n, (k,), padding=pad, feature_group_count=n, dtype=self.dtype, name="conv"
         )(x_g)
         if cfg.csgu_use_linear_after_conv:
-            x_g = nn.Dense(n, dtype=self.dtype, name="linear")(x_g)
+            x_g = nn.Dense(n, dtype=self.dtype, kernel_init=_winit(cfg), name="linear")(x_g)
         x_g = ACT[cfg.csgu_activation](x_g)
         out = x_r * x_g
         return nn.Dropout(cfg.csgu_conv_dropout)(out, deterministic=deterministic)
@@ -275,10 +303,10 @@ class ConvolutionalGatingMLP(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.config
-        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="channel_proj1")(x)
+        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=_winit(cfg), name="channel_proj1")(x)
         x = ACT["gelu"](x)
         x = ConvolutionalSpatialGatingUnit(cfg, self.dtype, name="csgu")(x, deterministic)
-        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="channel_proj2")(x)
+        return nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=_winit(cfg), name="channel_proj2")(x)
 
 
 class EBranchformerEncoderLayer(nn.Module):
@@ -317,7 +345,7 @@ class EBranchformerEncoderLayer(nn.Module):
             name="depthwise_conv_fusion",
         )(merged)
         merged = merged + fused
-        merged = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="merge_proj")(merged)
+        merged = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=_winit(cfg), name="merge_proj")(merged)
         x = residual + drop(merged)
 
         if cfg.use_macaron_ff:
@@ -487,8 +515,8 @@ class EBranchformerForCTC(nn.Module):
             )(h, bias, pos_emb, deterministic)
 
         hidden = nn.Dropout(cfg.final_dropout)(hidden_mixed, deterministic=deterministic)
-        vocab_logits = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="lm_head")(hidden)
-        blank_logit = nn.Dense(1, dtype=self.dtype, name="blank_projection")(hidden)
+        vocab_logits = nn.Dense(cfg.vocab_size, dtype=self.dtype, kernel_init=_winit(cfg), name="lm_head")(hidden)
+        blank_logit = nn.Dense(1, dtype=self.dtype, kernel_init=_winit(cfg), name="blank_projection")(hidden)
         logits = jnp.concatenate([vocab_logits, blank_logit], axis=-1)
 
         loss = None

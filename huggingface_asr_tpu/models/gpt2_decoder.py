@@ -87,6 +87,18 @@ def sinusoidal_positions(n_pos: int, dim: int, dtype=jnp.float32) -> jnp.ndarray
     return jnp.asarray(np.concatenate([np.sin(sinusoid), np.cos(sinusoid)], axis=-1), dtype)
 
 
+
+def _winit(cfg):
+    """HF GPT-2 init: normal(initializer_range) for all Conv1D/Linear."""
+    return nn.initializers.normal(stddev=getattr(cfg, "initializer_range", 0.02))
+
+
+def _winit_resid(cfg):
+    """HF GPT-2 residual-projection init: normal scaled by 1/sqrt(2*n_layer)."""
+    std = getattr(cfg, "initializer_range", 0.02) / (2 * cfg.n_layer) ** 0.5
+    return nn.initializers.normal(stddev=std)
+
+
 class CachedAttention(nn.Module):
     """Causal self-attention or cross-attention with optional KV cache."""
 
@@ -113,7 +125,7 @@ class CachedAttention(nn.Module):
             # Precompute encoder K/V ONCE per utterance into the cache —
             # recomputing c_attn(encoder_hidden) at every decode step is the
             # dominant FLOP cost of beam search otherwise.
-            kv = nn.Dense(2 * D, dtype=self.dtype, name="c_attn")(kv_source)
+            kv = nn.Dense(2 * D, dtype=self.dtype, kernel_init=_winit(cfg), name="c_attn")(kv_source)
             k, v = jnp.split(kv, 2, axis=-1)
             S = kv_source.shape[1]
             self.variable(
@@ -125,17 +137,17 @@ class CachedAttention(nn.Module):
             return None
 
         if self.cross:
-            q = nn.Dense(D, dtype=self.dtype, name="q_attn")(x)
+            q = nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="q_attn")(x)
             if cross_kv_mode == "read":
                 k = self.get_variable("cache", "cached_enc_key")
                 v = self.get_variable("cache", "cached_enc_value")
                 k = k.reshape(B, -1, H * dh)
                 v = v.reshape(B, -1, H * dh)
             else:
-                kv = nn.Dense(2 * D, dtype=self.dtype, name="c_attn")(kv_source)
+                kv = nn.Dense(2 * D, dtype=self.dtype, kernel_init=_winit(cfg), name="c_attn")(kv_source)
                 k, v = jnp.split(kv, 2, axis=-1)
         else:
-            qkv = nn.Dense(3 * D, dtype=self.dtype, name="c_attn")(x)
+            qkv = nn.Dense(3 * D, dtype=self.dtype, kernel_init=_winit(cfg), name="c_attn")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
         q = q.reshape(B, Tq, H, dh)
@@ -193,7 +205,7 @@ class CachedAttention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.attn_pdrop)(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, D)
-        out = nn.Dense(D, dtype=self.dtype, name="c_proj")(out)
+        out = nn.Dense(D, dtype=self.dtype, kernel_init=_winit_resid(cfg), name="c_proj")(out)
         return nn.Dropout(cfg.resid_pdrop)(out, deterministic=deterministic)
 
 
@@ -235,9 +247,9 @@ class GPT2Block(nn.Module):
                 deterministic=deterministic, cross_kv_mode=cross_kv_mode,
             )
         h = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=self.dtype, name="ln_2")(x)
-        h = nn.Dense(cfg.inner_dim, dtype=self.dtype, name="mlp_c_fc")(h)
+        h = nn.Dense(cfg.inner_dim, dtype=self.dtype, kernel_init=_winit(cfg), name="mlp_c_fc")(h)
         h = ACT[cfg.activation_function](h)
-        h = nn.Dense(cfg.n_embd, dtype=self.dtype, name="mlp_c_proj")(h)
+        h = nn.Dense(cfg.n_embd, dtype=self.dtype, kernel_init=_winit_resid(cfg), name="mlp_c_proj")(h)
         h = nn.Dropout(cfg.resid_pdrop)(h, deterministic=deterministic)
         return x + h
 
@@ -369,7 +381,7 @@ class GPT2MultiHeadDecoder(nn.Module):
                 return lambda h: wte.attend(h)
             if cfg.tie_additional_weights and name != "lm_head":
                 return lambda h: wte.attend(h)
-            dense = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, name=name)
+            dense = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, kernel_init=_winit(cfg), name=name)
             return dense
 
         per_head_logits = None

@@ -182,6 +182,7 @@ class BaseTrainer:
                 "grad_norm": gnorm,
                 "step_applied": ok.astype(jnp.int32),
                 "skipped_steps": new_state.skipped_steps,
+                "nonfinite_steps": new_state.nonfinite_steps,
                 **aux,
             }
             return new_state, metrics
@@ -225,6 +226,7 @@ class BaseTrainer:
         best_metric, best_step, patience_left = None, 0, cfg.early_stopping_patience
         t0 = time.time()
         audio_samples = 0
+        nan_dumped = False
 
         profiling = False
         for batch in train_iter:
@@ -254,6 +256,18 @@ class BaseTrainer:
                 logger.info("step %d: %s", step + 1, m)
                 for h in hooks:
                     h(step + 1, m)
+                # Post-mortem on first non-finite gradient (reference
+                # GradAwareTrainer dumps optimizer/inputs/model on NaN,
+                # training_utils.py:107-114). The guard already cancelled
+                # the update, so params/opt here are the pre-NaN state;
+                # `batch` is log-window granular, not the exact offender.
+                if (
+                    not nan_dumped
+                    and m.get("nonfinite_steps", 0) > 0
+                    and cfg.checkpoint_dir
+                ):
+                    nan_dumped = True
+                    self._dump_nan_postmortem(state, batch, step + 1)
 
             if eval_fn is not None and (step + 1) % cfg.eval_every == 0:
                 eval_metrics = eval_fn(state)
@@ -282,6 +296,27 @@ class BaseTrainer:
             if cfg.checkpoint_dir and (step + 1) % cfg.save_every == 0:
                 self.save_checkpoint(state)
         return state
+
+    def _dump_nan_postmortem(self, state: AsrTrainState, batch, step: int):
+        """Write params/opt-state/batch to <checkpoint_dir>/nan_postmortem/
+        for offline diagnosis of non-finite gradients."""
+        import os
+
+        from flax import serialization
+
+        out = os.path.join(self.config.checkpoint_dir, "nan_postmortem")
+        os.makedirs(out, exist_ok=True)
+        host_state = jax.device_get(state)
+        with open(os.path.join(out, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(host_state.params))
+        with open(os.path.join(out, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(host_state.opt_state))
+        np.savez(
+            os.path.join(out, "batch.npz"),
+            step=np.asarray(step),
+            **{k: np.asarray(v) for k, v in batch.items()},
+        )
+        logger.warning("non-finite gradients: post-mortem dumped to %s", out)
 
     # ---------------------------------------------------------- checkpoints
     @property

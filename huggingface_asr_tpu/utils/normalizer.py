@@ -12,6 +12,7 @@ spelling map can be supplied as a JSON file (it is corpus data, not code).
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Dict, Optional
 
@@ -52,6 +53,15 @@ class EnglishNormalizer:
                  spelling_json: Optional[str] = None):
         if not _HAVE_HF:
             raise ImportError("transformers is required for EnglishNormalizer")
+        if spelling_json is None and spelling_map is None:
+            # Bundled British→American map (data/assets/english_spelling.json;
+            # the public Whisper-normalizer spelling data the reference embeds
+            # in english_normalizer.py:8-1749) — applied by default so scoring
+            # matches the reference out of the box.
+            spelling_json = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "data", "assets", "english_spelling.json",
+            )
         if spelling_json:
             with open(spelling_json) as f:
                 spelling_map = json.load(f)

@@ -104,3 +104,63 @@ def test_lm_fusion_changes_result_and_tracks_component():
     s = np.asarray(scores1)
     finite = s > -1e8
     np.testing.assert_allclose(recon[finite], s[finite], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("length_penalty", [1.0, 0.6])
+def test_early_exit_matches_full_scan(length_penalty):
+    """early_exit while_loop must return IDENTICAL sequences/scores to the
+    full max_length scan (conservative is_done bound) on a decoder that
+    strongly prefers eos after step 2, i.e. where the exit actually fires."""
+    import dataclasses as dc
+
+    # Synthetic decoder_step with a strong eos preference after step 2 so the
+    # search genuinely finishes early; cache carries the step counter.
+    V = 30
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((8, V)).astype(np.float32)) * 2.0
+
+    def fake_step(cache, tokens, positions):
+        t = cache["t"]
+        logits = table[jnp.minimum(t, 7)][None, :].repeat(tokens.shape[0], axis=0)
+        eos_boost = jnp.where(t >= 2, 10.0, -10.0)
+        logits = logits.at[:, 1].add(eos_boost)
+        return logits, {"t": t + 1, "steps": cache["steps"] + 1}
+
+    cfg = BeamSearchConfig(
+        num_beams=3, max_length=24, ctc_weight=0.0, num_candidates=8,
+        length_penalty=length_penalty, early_exit=True,
+    )
+    cache0 = {"t": jnp.zeros((), jnp.int32), "steps": jnp.zeros((), jnp.int32)}
+
+    seqs_e, scores_e = jax.jit(
+        lambda c: joint_beam_search(fake_step, c, 2, cfg, vocab_size=V)
+    )(cache0)
+    cfg_full = dc.replace(cfg, early_exit=False)
+    seqs_f, scores_f = jax.jit(
+        lambda c: joint_beam_search(fake_step, c, 2, cfg_full, vocab_size=V)
+    )(cache0)
+
+    np.testing.assert_array_equal(np.asarray(seqs_e), np.asarray(seqs_f))
+    np.testing.assert_allclose(np.asarray(scores_e), np.asarray(scores_f), rtol=1e-6)
+
+
+def test_early_exit_with_ctc_matches_full_scan():
+    """Same equivalence through the real decoder + CTC prefix scorer path."""
+    import dataclasses as dc
+
+    step, cache, ctc_lp, _ = _setup(max_len=16)
+    cfg = BeamSearchConfig(
+        num_beams=2, max_length=16, ctc_weight=0.3, num_candidates=8,
+        length_penalty=1.0, early_exit=True,
+    )
+    seqs_e, scores_e = joint_beam_search(
+        step, cache, 2, cfg,
+        ctc_log_probs=ctc_lp, ctc_lengths=jnp.asarray([10, 7]), vocab_size=30,
+    )
+    step2, cache2, _, _ = _setup(max_len=16)
+    seqs_f, scores_f = joint_beam_search(
+        step2, cache2, 2, dc.replace(cfg, early_exit=False),
+        ctc_log_probs=ctc_lp, ctc_lengths=jnp.asarray([10, 7]), vocab_size=30,
+    )
+    np.testing.assert_array_equal(np.asarray(seqs_e), np.asarray(seqs_f))
+    np.testing.assert_allclose(np.asarray(scores_e), np.asarray(scores_f), rtol=1e-6)

@@ -163,3 +163,48 @@ def test_golden_parity_vs_reference(pos_type):
     # atol 3e-4: the gathered rel-pos contraction reassociates fp32 adds
     # relative to torch's shift-trick order (math identical).
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("awareness", ["gated", "gated_shared"])
+def test_golden_parity_gated_frontends(awareness):
+    """Golden parity for the gated / gated_shared conv front ends vs the
+    reference ContextAwareConv2d variants (extractors.py:23-66)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.encoders.e_branchformer import (
+        Wav2Vec2EBranchformerConfig,
+        Wav2Vec2EBranchformerForCTC,
+    )
+
+    hf_cfg = Wav2Vec2EBranchformerConfig(
+        hidden_size=64, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=128, conv_dim=[16, 16], conv_kernel=[3, 3],
+        conv_stride=[2, 2], conv_padding=(1, 1), num_fbanks=80, num_mel_bins=80,
+        vocab_size=50, use_fbanks=True, second_dim_input_size=80,
+        apply_spec_augment=False, num_feat_extract_layers=2,
+        attn_implementation="eager", context_awareness_type=awareness,
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, final_dropout=0.0, layerdrop=0.0,
+        ebranchformer_conv_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    ref = Wav2Vec2EBranchformerForCTC(hf_cfg)
+    ref.eval()
+
+    rng = np.random.default_rng(7)
+    # T=128 satisfies gated_shared's divisibility (conv time == 4x gate time
+    # at both layers); the reference .view() also requires it.
+    x = rng.standard_normal((2, 128, 80)).astype(np.float32)
+    with torch.no_grad():
+        golden = ref(torch.tensor(x)).logits.numpy()
+
+    cfg = EBranchformerConfig.from_hf_config(hf_cfg)
+    assert cfg.context_awareness_type == awareness
+    model = EBranchformerForCTC(cfg)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_ebranchformer_ctc_state_dict(sd, cfg)
+    out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray([128, 128]))
+    np.testing.assert_allclose(np.asarray(out.logits), golden, rtol=1e-4, atol=3e-4)

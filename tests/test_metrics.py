@@ -32,3 +32,18 @@ def test_cer():
     assert cer(["abcd"], ["abxd"]) == 0.25
     # whitespace normalized before character comparison
     assert cer(["a  b"], ["a b"]) == 0.0
+
+
+def test_normalizer_bundled_spelling_map_default():
+    """British→American spelling normalization works out of the box (the
+    reference embeds this map in english_normalizer.py; we bundle it as JSON
+    and apply it by default)."""
+    from huggingface_asr_tpu.utils.normalizer import EnglishNormalizer
+
+    n = EnglishNormalizer()
+    assert n("he accessorised his colourful armour") == (
+        "he accessorized his colorful armor"
+    )
+    # opt-out still works
+    n_empty = EnglishNormalizer(spelling_map={})
+    assert "colourful" in n_empty("a colourful day")

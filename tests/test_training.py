@@ -1,5 +1,7 @@
 """Training loop: 8-device DP mesh train step, anomaly guard, FSDP shardings."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -135,3 +137,71 @@ def test_remat_matches_no_remat(mesh8):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_gradient_accumulation_matches_big_batch(mesh8):
+    """N accumulated micro-steps == one big-batch step (same updated params).
+
+    Guards the gradient_accumulation_steps wiring (reference recipes depend on
+    accumulation, e.g. recipes/librispeech/train_ctc.sh).
+    """
+    big = _batch(B=16)
+    micro1 = {k: v[:8] for k, v in big.items()}
+    micro2 = {k: v[8:] for k, v in big.items()}
+
+    def cfg(accum):
+        return TrainerConfig(
+            optimizer=OptimizerConfig(
+                learning_rate=1e-3, warmup_steps=0, total_steps=10,
+                max_grad_norm=1e9, gradient_accumulation_steps=accum,
+            ),
+            spec_augment=None,
+        )
+
+    nodrop = dataclasses.replace(
+        TINY, hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, final_dropout=0.0, csgu_conv_dropout=0.0,
+    )
+    t_accum = CTCTrainer(EBranchformerForCTC(nodrop), cfg(2), mesh=mesh8)
+    t_big = CTCTrainer(EBranchformerForCTC(nodrop), cfg(1), mesh=mesh8)
+
+    s_accum = t_accum.init_state(micro1)
+    # Snapshot to host (the jitted step donates the state buffers).
+    params0 = jax.tree.map(lambda x: np.array(x), s_accum.params)
+    s_big = t_big.make_state(jax.tree.map(jnp.asarray, params0))
+
+    # Disable dropout-rng divergence: deterministic tiny config has no dropout.
+    s_accum, m1 = t_accum.train_step(s_accum, micro1)
+    # After the first micro step, params must be UNCHANGED (update held).
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        s_accum.params, params0,
+    )
+    s_accum, m2 = t_accum.train_step(s_accum, micro2)
+    s_big, mb = t_big.train_step(s_big, big)
+
+    flat_a = jax.tree_util.tree_leaves(s_accum.params)
+    flat_b = jax.tree_util.tree_leaves(s_big.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_nan_postmortem_dump(mesh8, tmp_path):
+    """First non-finite gradient dumps params/opt/batch for offline diagnosis
+    (reference GradAwareTrainer NaN dump, training_utils.py:107-114)."""
+    import os
+
+    trainer = _trainer(
+        mesh8, checkpoint_dir=str(tmp_path / "ckpt"), log_every=1, max_steps=1,
+    )
+    batch = _batch()
+    batch["input_features"][0, 0, 0] = np.inf  # poison one element
+    state = trainer.init_state(batch)
+    state = trainer.fit(state, iter([batch]))
+    out = tmp_path / "ckpt" / "nan_postmortem"
+    assert int(state.nonfinite_steps) == 1
+    assert (out / "params.msgpack").exists()
+    assert (out / "opt_state.msgpack").exists()
+    assert (out / "batch.npz").exists()
+    dumped = np.load(out / "batch.npz")
+    assert not np.isfinite(dumped["input_features"]).all()
