@@ -65,6 +65,20 @@ def epoch_iterator(
             batch = collator([dataset[int(i)] for i in idx])
             if extra_fn is not None:
                 batch = extra_fn(batch)
+            # Host-side throughput accounting: fit() must not touch device
+            # arrays per step (a device fetch per step through the axon
+            # tunnel costs ~30 ms).
+            for key in ("input_values_lengths", "input_lengths", "label_lengths"):
+                if key in batch:
+                    batch["_num_audio_samples"] = np.asarray(
+                        np.sum(batch[key]), np.int64
+                    )
+                    break
+            else:
+                if "input_ids" in batch:
+                    batch["_num_audio_samples"] = np.asarray(
+                        np.prod(batch["input_ids"].shape), np.int64
+                    )
             yield batch
             step += 1
             if max_steps is not None and step >= max_steps:
@@ -76,9 +90,22 @@ def eval_batches(
     collator: SpeechCollator,
     batch_size: int,
 ) -> Iterator[Dict[str, np.ndarray]]:
+    """Fixed-batch-size eval iterator.
+
+    The last ragged batch is padded to ``batch_size`` by repeating the final
+    example so every eval batch has the SAME leading shape (one XLA compile
+    instead of one per remainder size). The number of real rows rides along
+    as ``batch["_num_real"]`` — consumers must pop it before a jitted call
+    and truncate their outputs with it.
+    """
     n = len(dataset)
     for start in range(0, n, batch_size):
-        yield collator([dataset[i] for i in range(start, min(start + batch_size, n))])
+        idx = list(range(start, min(start + batch_size, n)))
+        num_real = len(idx)
+        idx += [idx[-1]] * (batch_size - num_real)
+        batch = collator([dataset[i] for i in idx])
+        batch["_num_real"] = np.asarray(num_real, np.int32)
+        yield batch
 
 
 def split_references(dataset, text_column: str) -> List[str]:

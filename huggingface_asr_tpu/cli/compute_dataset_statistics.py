@@ -47,9 +47,12 @@ def main(argv=None):
 
     def batches():
         for i, batch in enumerate(eval_batches(train, collator, args.batch_size)):
+            # Drop the repeated rows eval_batches pads the last batch with —
+            # they would bias the global CMVN stats.
+            n = int(batch.pop("_num_real", 0)) or None
             if args.max_batches and i >= args.max_batches:
                 break
-            yield batch["input_values"], batch["input_values_lengths"]
+            yield batch["input_values"][:n], batch["input_values_lengths"][:n]
 
     mean, std = compute_global_stats(frontend, batches())
     os.makedirs(args.output_dir, exist_ok=True)

@@ -94,6 +94,16 @@ def main(argv=None):
             gen_cfg = parse_override_string(gen_args.override_for_evaluation, gen_cfg)
         if gen_args.save_nbest:
             gen_cfg = dataclasses.replace(gen_cfg, return_components=True)
+        if gen_args.eval_beam_factor > 1:
+            # Reference do_evaluate: beams x= factor, eval batch /= factor
+            # (general_utils.py:200-203).
+            gen_cfg = dataclasses.replace(
+                gen_cfg, num_beams=gen_cfg.num_beams * gen_args.eval_beam_factor
+            )
+            eval_args = dataclasses.replace(
+                eval_args,
+                batch_size=max(eval_args.batch_size // gen_args.eval_beam_factor, 1),
+            )
 
         decode_jit = jax.jit(
             lambda feats, lens: generate_joint(model, params, feats, lens, gen_cfg)

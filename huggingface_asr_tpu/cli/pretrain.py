@@ -23,6 +23,7 @@ from huggingface_asr_tpu.cli.common import (
 )
 from huggingface_asr_tpu.cli.train_ctc import build_trainer_config
 from huggingface_asr_tpu.data.bucketing import BucketedBatchSampler, BucketingConfig
+from huggingface_asr_tpu.data.prefetch import PrefetchIterator, sharded_device_put
 from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
 from huggingface_asr_tpu.data.datasets import DataConfig, get_dataset
 from huggingface_asr_tpu.models.bestrq import BestRQForPreTraining
@@ -141,12 +142,17 @@ def main(argv=None):
             return {}
         losses = []
         for batch in eval_batches(val, collator, training.per_device_eval_batch_size):
+            batch.pop("_num_real", None)
             out = jax.device_get(trainer.eval_step(state.params, batch_fn(batch)))
             losses.append(float(out["loss"]))
         return {"loss": float(np.mean(losses))}
 
-    train_iter = epoch_iterator(
-        train_ds, sampler, collator, max_steps=training.max_steps, extra_fn=batch_fn
+    train_iter = PrefetchIterator(
+        epoch_iterator(
+            train_ds, sampler, collator, max_steps=training.max_steps, extra_fn=batch_fn
+        ),
+        depth=2,
+        device_put=sharded_device_put(trainer.mesh),
     )
     state = trainer.fit(state, train_iter, eval_fn=eval_fn, hooks=[metrics_logger.log])
     trainer.save_checkpoint(state)

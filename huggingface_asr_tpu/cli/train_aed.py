@@ -26,6 +26,7 @@ from huggingface_asr_tpu.cli.common import (
 )
 from huggingface_asr_tpu.cli.train_ctc import build_trainer_config
 from huggingface_asr_tpu.data.bucketing import BucketedBatchSampler, BucketingConfig
+from huggingface_asr_tpu.data.prefetch import PrefetchIterator, sharded_device_put
 from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
 from huggingface_asr_tpu.data.datasets import DataConfig, get_dataset
 from huggingface_asr_tpu.decoding.beam_search import BeamSearchConfig
@@ -156,11 +157,16 @@ def main(argv=None):
             return {}
         losses = []
         for batch in eval_batches(val, collator, training.per_device_eval_batch_size):
+            batch.pop("_num_real", None)
             out = jax.device_get(trainer.eval_step(state.params, batch))
             losses.append(float(out["loss"]))
         return {"loss": float(np.mean(losses))}
 
-    train_iter = epoch_iterator(train_ds, sampler, collator, max_steps=training.max_steps)
+    train_iter = PrefetchIterator(
+        epoch_iterator(train_ds, sampler, collator, max_steps=training.max_steps),
+        depth=2,
+        device_put=sharded_device_put(trainer.mesh),
+    )
     state = trainer.fit(state, train_iter, eval_fn=eval_fn, hooks=[metrics_logger.log])
     trainer.save_checkpoint(state)
     save_params(
@@ -171,6 +177,16 @@ def main(argv=None):
     gen_cfg = build_generation_config(gen_args, ids)
     if gen_args.override_for_evaluation:
         gen_cfg = parse_override_string(gen_args.override_for_evaluation, gen_cfg)
+    # Reference do_evaluate: final eval multiplies beams by eval_beam_factor
+    # and divides the eval batch by it (general_utils.py:200-203).
+    eval_bs = training.per_device_eval_batch_size
+    if gen_args.eval_beam_factor > 1:
+        import dataclasses as _dc
+
+        gen_cfg = _dc.replace(
+            gen_cfg, num_beams=gen_cfg.num_beams * gen_args.eval_beam_factor
+        )
+        eval_bs = max(eval_bs // gen_args.eval_beam_factor, 1)
 
     decode = jax.jit(
         lambda p, feats, lens: generate_joint(model, p, feats, lens, gen_cfg)
@@ -202,8 +218,7 @@ def main(argv=None):
         normalizer = EnglishNormalizer()
     results = evaluate_splits(
         decode_batch,
-        {n: eval_batches(ds, collator, training.per_device_eval_batch_size)
-         for n, ds in test_splits.items()},
+        {n: eval_batches(ds, collator, eval_bs) for n, ds in test_splits.items()},
         {n: split_references(ds, data_cfg.text_column_name) for n, ds in test_splits.items()},
         output_dir=training.output_dir,
         normalizer=normalizer,

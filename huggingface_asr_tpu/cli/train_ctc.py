@@ -25,6 +25,7 @@ from huggingface_asr_tpu.cli.common import (
     tokenizer_ids,
 )
 from huggingface_asr_tpu.data.bucketing import BucketedBatchSampler, BucketingConfig
+from huggingface_asr_tpu.data.prefetch import PrefetchIterator, sharded_device_put
 from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
 from huggingface_asr_tpu.data.datasets import DataConfig, get_dataset
 from huggingface_asr_tpu.models.configs import EBranchformerConfig, parse_dtype
@@ -170,18 +171,24 @@ def main(argv=None):
             return {}
         refs, hyps, losses = [], [], []
         for batch in eval_batches(val, collator, training.per_device_eval_batch_size):
+            num_real = int(batch.pop("_num_real"))
             out = jax.device_get(trainer.eval_step(state.params, batch))
             losses.append(float(out["loss"]))
-            toks = tokens_to_lists(out["tokens"], out["token_lengths"])
+            toks = tokens_to_lists(out["tokens"], out["token_lengths"])[:num_real]
             hyps.extend(tokenizer.decode(t, skip_special_tokens=True) for t in toks)
-        refs = split_references(val, data_cfg.text_column_name)[: len(hyps)]
+        refs = split_references(val, data_cfg.text_column_name)
+        assert len(refs) == len(hyps), (len(refs), len(hyps))
         m = get_metrics(refs, hyps)
         return {"loss": float(np.mean(losses)), **m}
 
     if training.start_by_eval:
         logger.info("start_by_eval: %s", eval_fn(state))
 
-    train_iter = epoch_iterator(train_ds, sampler, train_collator, max_steps=training.max_steps)
+    train_iter = PrefetchIterator(
+        epoch_iterator(train_ds, sampler, train_collator, max_steps=training.max_steps),
+        depth=2,
+        device_put=sharded_device_put(trainer.mesh),
+    )
     state = trainer.fit(
         state, train_iter, eval_fn=eval_fn, hooks=[metrics_logger.log]
     )

@@ -65,7 +65,7 @@ def sharded_device_put(mesh):
 
     def put(batch):
         return {
-            k: jax.device_put(
+            k: v if k.startswith("_") else jax.device_put(
                 v, NamedSharding(mesh, P("data", *([None] * (np.ndim(v) - 1))))
             )
             for k, v in batch.items()

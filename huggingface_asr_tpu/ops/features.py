@@ -134,9 +134,9 @@ class LogMelFrontEnd:
         cos_b, sin_b = _dft_bases(cfg)
         # Fold the window into the DFT bases: (w*x) @ C == x @ (diag(w) C).
         dtype = cfg.compute_dtype
-        self._cos = jnp.asarray(window[:, None] * cos_b, dtype=dtype)
-        self._sin = jnp.asarray(window[:, None] * sin_b, dtype=dtype)
-        self._mel = jnp.asarray(
+        self._cos = np.asarray(window[:, None] * cos_b, dtype=dtype)
+        self._sin = np.asarray(window[:, None] * sin_b, dtype=dtype)
+        self._mel = np.asarray(
             kaldi_mel_filter_bank(
                 num_frequency_bins=cfg.num_frequency_bins,
                 num_mel_filters=cfg.num_mel_bins,
@@ -149,8 +149,8 @@ class LogMelFrontEnd:
         if cfg.norm_type == "global":
             if global_means is None or global_stds is None:
                 raise ValueError("norm_type='global' requires global_means/global_stds")
-            self._gmeans = jnp.asarray(global_means, dtype=dtype)
-            self._gstds = jnp.asarray(global_stds, dtype=dtype)
+            self._gmeans = np.asarray(global_means, dtype=dtype)
+            self._gstds = np.asarray(global_stds, dtype=dtype)
         else:
             self._gmeans = self._gstds = None
 

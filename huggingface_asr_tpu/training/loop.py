@@ -241,13 +241,17 @@ class BaseTrainer:
                     jax.profiler.stop_trace()
                     profiling = False
                     logger.info("profiler trace written to %s", cfg.profile_dir)
+            n_audio = batch.pop("_num_audio_samples", None)
             state, metrics = self.train_step(state, batch)
-            for key in ("input_values_lengths", "input_lengths", "label_lengths"):
-                if key in batch:
-                    audio_samples += int(np.sum(batch[key]))
-                    break
+            if n_audio is not None:
+                audio_samples += int(n_audio)
             else:
-                audio_samples += int(np.prod(batch["input_ids"].shape))
+                for key in ("input_values_lengths", "input_lengths", "label_lengths"):
+                    if key in batch:
+                        audio_samples += int(np.sum(batch[key]))
+                        break
+                else:
+                    audio_samples += int(np.prod(batch["input_ids"].shape))
 
             if (step + 1) % cfg.log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}

@@ -99,10 +99,18 @@ def evaluate_splits(
         hyps: List[str] = []
         t0 = time.time()
         for batch in batches:
+            num_real = int(batch.pop("_num_real", -1))
             best, _ = decode_batch(batch)
+            if num_real >= 0:
+                best = best[:num_real]
             hyps.extend(best)
         wall = time.time() - t0
-        refs = references[split][: len(hyps)]
+        refs = references[split]
+        if len(refs) != len(hyps):
+            raise ValueError(
+                f"split {split}: {len(refs)} references vs {len(hyps)} "
+                "hypotheses — eval batches and references are misaligned"
+            )
         if normalizer is not None:
             refs = [normalizer(r) for r in refs]
             hyps = [normalizer(h) for h in hyps]
