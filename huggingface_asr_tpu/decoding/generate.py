@@ -148,3 +148,132 @@ def generate_joint(
         init_lm_cache=init_lm_cache,
         vocab_size=cfg.decoder.vocab_size,
     )
+
+
+def build_whisper_decoder_step(
+    model,
+    params,
+    encoder_hidden: jnp.ndarray,  # (BW, S, D) beam-expanded
+    encoder_lengths: jnp.ndarray,
+    max_length: int,
+    forced_decoder_ids: Optional[Tuple[Tuple[int, int], ...]] = None,
+    suppress_tokens: Optional[Tuple[int, ...]] = None,
+    begin_suppress_tokens: Optional[Tuple[int, ...]] = None,
+):
+    """(step_fn, init_cache) for Whisper AED beam search.
+
+    Whisper generation specials (reference gets them through HF generate +
+    handle_whisper_generation_config, model_utils.py:248-261) are fused into
+    the compiled step as static logit transforms:
+      * forced_decoder_ids: position p must emit token t (language/task
+        prompt) — all other logits masked at that position.
+      * suppress_tokens: never emitted.
+      * begin_suppress_tokens: not emitted at the first generated position.
+    """
+    from huggingface_asr_tpu.models.whisper_seq2seq import WhisperDecoder
+
+    module = WhisperDecoder(
+        model.config, dtype=model.dtype, decode_max_length=max_length
+    )
+    BW = encoder_hidden.shape[0]
+    dummy = jnp.zeros((BW, 1), jnp.int32)
+    init_vars = module.init(
+        jax.random.key(0),
+        dummy,
+        encoder_hidden=encoder_hidden,
+        encoder_lengths=encoder_lengths,
+        decode=True,
+        position_offset=jnp.zeros((BW,), jnp.int32),
+    )
+    _, kv_vars = module.apply(
+        {"params": params, "cache": init_vars["cache"]},
+        None,
+        encoder_hidden=encoder_hidden,
+        cross_kv_mode="write",
+        mutable=["cache"],
+    )
+    init_cache = kv_vars["cache"]
+
+    forced = dict(forced_decoder_ids or ())
+    suppress = jnp.asarray(suppress_tokens, jnp.int32) if suppress_tokens else None
+    begin_suppress = (
+        jnp.asarray(begin_suppress_tokens, jnp.int32)
+        if begin_suppress_tokens
+        else None
+    )
+    # Whisper's forced ids are indexed from generation position 1
+    # (position 0 is decoder_start); our positions count generated steps
+    # from 0 — shift by one.
+    forced_by_pos = {p - 1: t for p, t in forced.items()}
+
+    def step(cache, tokens, positions):
+        logits, vars_out = module.apply(
+            {"params": params, "cache": cache},
+            tokens,
+            encoder_hidden=encoder_hidden,
+            encoder_lengths=encoder_lengths,
+            deterministic=True,
+            decode=True,
+            position_offset=positions,
+            cross_kv_mode="read",
+            mutable=["cache"],
+        )
+        logits = logits[:, -1, :]
+        pos = positions[0]  # all beams share the step index
+        if suppress is not None:
+            logits = logits.at[:, suppress].set(NEG_INF_GEN)
+        if begin_suppress is not None:
+            first = pos == 0
+            sup = jnp.where(first, NEG_INF_GEN, 0.0)
+            logits = logits.at[:, begin_suppress].add(sup)
+        for p, tok in forced_by_pos.items():
+            hit = pos == p
+            mask = jax.nn.one_hot(tok, logits.shape[-1], dtype=logits.dtype)
+            forced_row = mask * 0.0 + (1.0 - mask) * NEG_INF_GEN
+            logits = jnp.where(hit, logits + forced_row, logits)
+        return logits, vars_out["cache"]
+
+    return step, init_cache
+
+
+NEG_INF_GEN = -1.0e9
+
+
+def generate_whisper(
+    model,
+    params,
+    input_features: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    config: BeamSearchConfig,
+    forced_decoder_ids: Optional[Tuple[Tuple[int, int], ...]] = None,
+    suppress_tokens: Optional[Tuple[int, ...]] = None,
+    begin_suppress_tokens: Optional[Tuple[int, ...]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whisper AED beam search: encoder once → beam-expand → compiled search
+    (attention-only scores; pass ctc_weight=0)."""
+    B = input_features.shape[0]
+    W = config.num_beams
+
+    enc_hidden, enc_lengths = model.apply(
+        {"params": params}, input_features, input_lengths, method=model.encode
+    )
+    hidden_exp = _expand_beams(enc_hidden, W)
+    lengths_exp = _expand_beams(enc_lengths, W)
+
+    step, init_cache = build_whisper_decoder_step(
+        model,
+        params["decoder"],
+        hidden_exp,
+        lengths_exp,
+        config.max_length,
+        forced_decoder_ids=forced_decoder_ids,
+        suppress_tokens=suppress_tokens,
+        begin_suppress_tokens=begin_suppress_tokens,
+    )
+    return joint_beam_search(
+        step,
+        init_cache,
+        B,
+        config,
+        vocab_size=model.config.vocab_size,
+    )

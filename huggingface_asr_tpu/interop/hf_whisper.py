@@ -87,3 +87,43 @@ def convert_whisper_encoder_state_dict(
     if f"{p}lm_head.weight" in sd:
         params["lm_head"] = {"kernel": _t(sd[f"{p}lm_head.weight"])}
     return params
+
+
+def convert_whisper_seq2seq_state_dict(
+    state_dict: Mapping[str, np.ndarray], config
+) -> Dict[str, Any]:
+    """HF WhisperForConditionalGeneration → our WhisperForConditionalGeneration.
+
+    config: WhisperSeq2SeqConfig. The lm head is tied to embed_tokens in both
+    implementations, so only the embedding converts.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    pre = "model." if "model.encoder.conv1.weight" in sd else ""
+
+    enc: Dict[str, Any] = {
+        "conv1": {"kernel": _conv1d(sd[f"{pre}encoder.conv1.weight"]),
+                  "bias": sd[f"{pre}encoder.conv1.bias"]},
+        "conv2": {"kernel": _conv1d(sd[f"{pre}encoder.conv2.weight"]),
+                  "bias": sd[f"{pre}encoder.conv2.bias"]},
+        "layer_norm": _ln(sd, f"{pre}encoder.layer_norm"),
+    }
+    for i in range(config.encoder_layers):
+        enc[f"layers_{i}"] = _layer(sd, f"{pre}encoder.layers.{i}")
+
+    dec: Dict[str, Any] = {
+        "embed_tokens": {"embedding": sd[f"{pre}decoder.embed_tokens.weight"]},
+        "embed_positions": sd[f"{pre}decoder.embed_positions.weight"],
+        "layer_norm": _ln(sd, f"{pre}decoder.layer_norm"),
+    }
+    for i in range(config.decoder_layers):
+        p = f"{pre}decoder.layers.{i}"
+        dec[f"layers_{i}"] = {
+            "self_attn_layer_norm": _ln(sd, f"{p}.self_attn_layer_norm"),
+            "self_attn": _attn(sd, f"{p}.self_attn"),
+            "encoder_attn_layer_norm": _ln(sd, f"{p}.encoder_attn_layer_norm"),
+            "encoder_attn": _attn(sd, f"{p}.encoder_attn"),
+            "final_layer_norm": _ln(sd, f"{p}.final_layer_norm"),
+            "fc1": _dense(sd, f"{p}.fc1"),
+            "fc2": _dense(sd, f"{p}.fc2"),
+        }
+    return {"encoder": enc, "decoder": dec}

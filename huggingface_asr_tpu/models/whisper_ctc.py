@@ -139,6 +139,12 @@ class WhisperEncoderForCTC(nn.Module):
                     dtype=self.dtype, name="conv2")(x)
         x = jax.nn.gelu(x, approximate=False)
         T = x.shape[1]
+        if T > cfg.max_source_positions:
+            raise ValueError(
+                f"encoder frames {T} > max_source_positions "
+                f"{cfg.max_source_positions}; shorten/pad inputs to at most "
+                f"{2 * cfg.max_source_positions} mel frames"
+            )
         pos = jnp.asarray(_sinusoids(cfg.max_source_positions, cfg.d_model),
                           self.dtype)
         x = x + pos[:T]

@@ -30,6 +30,13 @@ class ModelArguments:
     lsm_factor: float = 0.1
     shared_lm_head: bool = False
     decoder_pos_emb_fixed: bool = False
+    # AED family: "decred" (E-Branchformer + GPT-2 joint) or "whisper"
+    # (Whisper seq2seq fine-tune, reference train_enc_dec_asr.py:82-85).
+    model_family: str = "decred"
+    # Whisper generation prompt (reference handle_whisper_generation_config,
+    # model_utils.py:248-261): sets forced_decoder_ids from the tokenizer.
+    whisper_task: Optional[str] = None
+    whisper_language: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -577,3 +577,49 @@ class Wav2Vec2SSLTrainer(BaseTrainer):
             deterministic=True,
         )
         return {"loss": out.loss / jnp.maximum(out.num_masked, 1)}
+
+
+class Seq2SeqTrainer(BaseTrainer):
+    """Plain encoder-decoder CE training (Whisper AED fine-tune — the
+    reference trains HF WhisperForConditionalGeneration directly,
+    train_enc_dec_asr.py:82-85)."""
+
+    def _init_args(self, batch):
+        feats, lengths = (
+            (jnp.asarray(batch["input_features"]), jnp.asarray(batch["input_lengths"]))
+            if "input_features" in batch
+            else self.frontend(
+                jnp.asarray(batch["input_values"]),
+                jnp.asarray(batch["input_values_lengths"]),
+            )
+        )
+        return (feats, lengths), {
+            "labels": jnp.asarray(batch["labels"]),
+            "label_lengths": jnp.asarray(batch["label_lengths"]),
+        }
+
+    def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):
+        feats, lengths = self._featurize(batch)
+        feats = self._maybe_spec_augment(aug_rng, feats, lengths, step)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            labels=batch["labels"],
+            label_lengths=batch["label_lengths"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        return out.loss, {}
+
+    def eval_outputs(self, params, batch):
+        feats, lengths = self._featurize(batch)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            labels=batch.get("labels"),
+            label_lengths=batch.get("label_lengths"),
+            deterministic=True,
+        )
+        return {"loss": out.loss}

@@ -89,3 +89,45 @@ def test_train_aed_e2e(corpus, tok_dir, tmp_path):
     assert "test" in results
     assert np.isfinite(results["test"].metrics["wer"])
     assert os.path.exists(os.path.join(out, "predictions_test.csv"))
+
+
+def test_train_whisper_aed_e2e(corpus, tok_dir, tmp_path):
+    """Whisper seq2seq fine-tune path through the real CLI
+    (--model_family whisper): train → checkpoint → beam-search eval."""
+    from huggingface_asr_tpu.cli.train_aed import main
+
+    model_cfg = {
+        "d_model": 32, "encoder_layers": 1, "encoder_attention_heads": 2,
+        "encoder_ffn_dim": 64, "decoder_layers": 1,
+        "decoder_attention_heads": 2, "decoder_ffn_dim": 64,
+        "max_source_positions": 128, "max_target_positions": 32,
+        "dropout": 0.0,
+    }
+    cfg_path = tmp_path / "whisper.json"
+    cfg_path.write_text(json.dumps(model_cfg))
+    out = str(tmp_path / "whisper_out")
+
+    results = main([
+        "--model_family", "whisper",
+        "--dataset_name", corpus,
+        "--load_from_disk", "--no-do_resample",
+        "--tokenizer_name", tok_dir,
+        "--model_config", str(cfg_path),
+        "--dtype", "float32",
+        "--output_dir", out,
+        "--per_device_train_batch_size", "8",
+        "--per_device_eval_batch_size", "4",
+        "--max_steps", "3",
+        "--logging_steps", "2",
+        "--eval_steps", "2",
+        "--save_steps", "3",
+        "--warmup_steps", "1",
+        "--num_beams", "2",
+        "--max_length", "10",
+        "--num_candidates", "8",
+        "--max_duration_in_seconds", "2",
+        "--pad_to_multiple", "25",
+    ])
+    assert os.path.exists(os.path.join(out, "final", "config.json"))
+    assert "test" in results
+    assert np.isfinite(results["test"].metrics["wer"])
