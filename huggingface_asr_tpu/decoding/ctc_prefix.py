@@ -214,6 +214,97 @@ class CTCPrefixScorer:
         token_scores = log_psi - state.s[:, None]
         return token_scores, (r_new, log_psi)
 
+    def extended(
+        self, ctc_log_probs: jnp.ndarray, lengths: jnp.ndarray
+    ) -> "CTCPrefixScorer":
+        """Streaming: a scorer over the OLD frames + a NEW posterior chunk
+        (reference ``extend_prob``, ctc_scorer.py:209-229). Prepared tensors
+        concatenate exactly: frames past each chunk's length are blank=0 /
+        logzero, the same padding the reference inserts mid-stream."""
+        new = CTCPrefixScorer(ctc_log_probs, lengths, self.blank_id, self.eos_id,
+                              impl=self.impl)
+        assert new.batch == self.batch and new.odim == self.odim
+        merged = CTCPrefixScorer.__new__(CTCPrefixScorer)
+        merged.impl = self.impl
+        merged.batch, merged.odim = self.batch, self.odim
+        merged.blank_id, merged.eos_id = self.blank_id, self.eos_id
+        merged.input_length = self.input_length + new.input_length
+        merged.xn = jnp.concatenate([self.xn, new.xn], axis=0)
+        merged.xb = jnp.concatenate([self.xb, new.xb], axis=0)
+        return merged
+
+    def extend_state(self, state: CTCPrefixState, old_T: int) -> CTCPrefixState:
+        """Continue a prefix state's forward variables into new frames —
+        CHEAP APPROXIMATION (cost O(T_new)):
+
+            rn[t] = rn[t-1] + x_t[last]   (re-emission collapses repeats)
+            rb[t] = lse(rn[t-1], rb[t-1]) + x_t[blank]
+
+        This keeps strictly more probability mass than the reference/ESPnet
+        ``extend_state`` (ctc_scorer.py:240-256, blank row only) but still
+        drops paths where the prefix's LAST label is first emitted inside the
+        new frames (exactness would need the parent prefix's forward vars —
+        the whole ancestor chain). Use ``replay_state`` for the exact
+        continuation at O(L·T) cost.
+        """
+        T_total = self.input_length
+        T_new = T_total - old_T
+        BW = state.r.shape[2]
+        n_hyps = BW // self.batch
+        batch_of = jnp.repeat(jnp.arange(self.batch), n_hyps)  # (BW,)
+
+        xb_new = self.xb[old_T:, batch_of]  # (T_new, BW)
+        safe_last = jnp.clip(state.last, 0, self.odim - 1)
+        x_last = self.xn[old_T:, batch_of, safe_last]  # (T_new, BW)
+        x_last = jnp.where(state.last[None, :] >= 0, x_last, LOG_ZERO)
+
+        def step(carry, inputs):
+            rn_prev, rb_prev = carry
+            xl_t, xb_t = inputs
+            rn = rn_prev + xl_t
+            rb = _lse2(rn_prev, rb_prev) + xb_t
+            return (rn, rb), (rn, rb)
+
+        (rn_T, rb_T), (rn_seq, rb_seq) = jax.lax.scan(
+            step, (state.r[old_T - 1, 0], state.r[old_T - 1, 1]),
+            (x_last, xb_new),
+        )
+        r_ext = jnp.stack([rn_seq, rb_seq], axis=1)  # (T_new, 2, BW)
+        return CTCPrefixState(
+            r=jnp.concatenate([state.r, r_ext], axis=0),
+            s=state.s,
+            last=state.last,
+            length=state.length,
+        )
+
+    def replay_state(
+        self, tokens: jnp.ndarray, lengths: jnp.ndarray, num_hyps: int
+    ) -> CTCPrefixState:
+        """EXACT streaming state: rebuild each prefix's forward variables over
+        ALL frames of this (extended) scorer by replaying its tokens.
+
+        tokens: (BW, L) prefix token ids (pad arbitrary past lengths).
+        lengths: (BW,) prefix lengths. Cost O(L·T) — the exact counterpart of
+        ``extend_state`` for chunked joint decoding.
+        """
+        state = self.init_state(num_hyps)
+        BW, L = tokens.shape
+        beam_idx = jnp.arange(BW)
+        for step in range(L):
+            tok = tokens[:, step]
+            _, scored = self.score_candidates(state, tok[:, None])
+            new_state = self.select_state(
+                state, scored, beam_idx, jnp.zeros((BW,), jnp.int32), tok
+            )
+            alive = (step < lengths)
+            state = CTCPrefixState(
+                r=jnp.where(alive[None, None, :], new_state.r, state.r),
+                s=jnp.where(alive, new_state.s, state.s),
+                last=jnp.where(alive, new_state.last, state.last),
+                length=jnp.where(alive, new_state.length, state.length),
+            )
+        return state
+
     def select_state(
         self,
         state: CTCPrefixState,

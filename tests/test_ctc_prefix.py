@@ -153,3 +153,88 @@ def test_assoc_equals_sequential_scan():
     sc_a2, _ = s_a.score_candidates(st_a, cand)
     sc_s2, _ = s_s.score_candidates(st_s, cand)
     np.testing.assert_allclose(np.asarray(sc_a2), np.asarray(sc_s2), rtol=1e-4, atol=2e-4)
+
+
+def test_streaming_extension_matches_full():
+    """extended()/extend_state() (reference extend_prob/extend_state,
+    ctc_scorer.py:209-256): chunk-wise scoring must EQUAL scoring with the
+    full posteriors from scratch — exact continuation, unlike the
+    reference's blank-only approximation."""
+    import numpy as np
+
+    from huggingface_asr_tpu.decoding.ctc_prefix import CTCPrefixScorer
+
+    rng = np.random.default_rng(5)
+    B, W, V, T1, T2 = 2, 3, 8, 12, 8
+    blank, eos = 0, 1
+    full_lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T1 + T2, V)), jnp.float32), axis=-1
+    )
+    lens1 = jnp.asarray([T1, T1])
+    lens2 = jnp.asarray([T2, T2 - 3])  # ragged second chunk
+
+    full_lens = lens1 + lens2
+    # Frames past each chunk's length are blank=0/logzero in the streaming
+    # scorer; emulate identically for the from-scratch scorer by masking the
+    # invalid tail of chunk 2 before concatenation.
+    chunk1, chunk2 = full_lp[:, :T1], full_lp[:, T1:]
+    sc_stream = CTCPrefixScorer(chunk1, lens1, blank, eos, impl="scan")
+    sc_full = CTCPrefixScorer(
+        jnp.concatenate([chunk1, chunk2], axis=1),
+        jnp.asarray([T1 + T2, T1 + T2 - 3]), blank, eos, impl="scan",
+    )
+
+    # Drive identical prefix selections on both scorers over chunk 1.
+    state_s = sc_stream.init_state(W)
+    state_f = sc_full.init_state(W)
+    BW = B * W
+    rng2 = np.random.default_rng(7)
+    selected = []
+    for step in range(3):
+        cands = jnp.asarray(rng2.integers(2, V, (BW, 4)), jnp.int32)
+        _, scored_s = sc_stream.score_candidates(state_s, cands)
+        _, scored_f = sc_full.score_candidates(state_f, cands)
+        beam_idx = jnp.arange(BW)
+        cand_idx = jnp.asarray(rng2.integers(0, 4, (BW,)), jnp.int32)
+        toks = jnp.take_along_axis(cands, cand_idx[:, None], axis=1)[:, 0]
+        state_s = sc_stream.select_state(state_s, scored_s, beam_idx, cand_idx, toks)
+        state_f = sc_full.select_state(state_f, scored_f, beam_idx, cand_idx, toks)
+        selected.append(toks)
+
+    # NOTE: chunk-1 select_state computed r over T1 frames only for the
+    # streaming scorer, but over T1+T2 for the full scorer. Truncate the
+    # full state's r to compare the overlap, then extend the streaming one.
+    np.testing.assert_allclose(
+        np.asarray(state_s.r), np.asarray(state_f.r[:T1]), rtol=1e-5, atol=1e-5
+    )
+
+    sc_ext = sc_stream.extended(chunk2, lens2)
+
+    # EXACT continuation: replay the prefixes over the extended scorer.
+    prefix_tokens = jnp.stack(selected, axis=1)  # (BW, 3)
+    state_replay = sc_ext.replay_state(prefix_tokens, state_s.length, W)
+    np.testing.assert_allclose(
+        np.asarray(state_replay.r), np.asarray(state_f.r), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_replay.s), np.asarray(state_f.s), rtol=1e-4, atol=1e-4
+    )
+
+    # Scoring with the replayed state == full-scorer scoring (exact).
+    cands = jnp.asarray(rng2.integers(2, V, (BW, 4)), jnp.int32)
+    ts_ext, _ = sc_ext.score_candidates(state_replay, cands)
+    ts_full, _ = sc_full.score_candidates(state_f, cands)
+    np.testing.assert_allclose(
+        np.asarray(ts_ext), np.asarray(ts_full), rtol=1e-4, atol=1e-4
+    )
+
+    # CHEAP continuation: a lower bound on the exact forward vars (it keeps
+    # strictly more mass than the reference blank-only extend_state but
+    # drops first-emission-in-new-frames paths).
+    state_apx = sc_ext.extend_state(state_s, old_T=T1)
+    exact_new = np.asarray(state_f.r[T1:])
+    apx_new = np.asarray(state_apx.r[T1:])
+    assert (apx_new <= exact_new + 1e-3).all()
+    # ...and exceeds the reference approximation (blank row only): the rn
+    # row there is logzero everywhere in the new frames.
+    assert (apx_new[:, 0] > -1e9).any()

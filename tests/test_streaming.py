@@ -50,3 +50,64 @@ def test_streaming_prefix_stability():
     final_direct = session2.feed(audio)
     assert final_direct == transcripts[-1]
     assert session.transcript(transcripts[-1]) == " ".join(map(str, transcripts[-1]))
+
+
+def test_streaming_joint_session_matches_full_decode():
+    """StreamingJointSession: after the final chunk, the streamed best
+    hypothesis equals a one-shot joint beam decode of the full audio."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from huggingface_asr_tpu.decoding.beam_search import BeamSearchConfig
+    from huggingface_asr_tpu.decoding.generate import generate_joint
+    from huggingface_asr_tpu.models.configs import EBranchformerConfig
+    from huggingface_asr_tpu.models.gpt2_decoder import GPT2DecoderConfig
+    from huggingface_asr_tpu.models.joint_ctc_aed import (
+        JointCTCAttentionConfig,
+        JointCTCAttentionEncoderDecoder,
+    )
+    from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
+    from huggingface_asr_tpu.serving.streaming import StreamingJointSession
+
+    enc = EBranchformerConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(8, 8), conv_kernel=(3, 3),
+        conv_stride=(2, 2), conv_padding=(1, 1), vocab_size=30,
+        is_causal=True, hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    dec = GPT2DecoderConfig(
+        vocab_size=30, n_positions=32, n_embd=32, n_layer=1, n_head=2,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    cfg = JointCTCAttentionConfig(encoder=enc, decoder=dec, ctc_weight=0.3)
+    model = JointCTCAttentionEncoderDecoder(cfg)
+    frontend = LogMelFrontEnd(LogMelConfig(norm_type="global"),
+                              global_means=np.zeros(80),
+                              global_stds=np.ones(80))
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(2 * 16000).astype(np.float32) * 0.1
+    feats, flens = frontend(jnp.asarray(audio)[None], jnp.asarray([len(audio)]))
+    params = model.init(
+        jax.random.key(0), feats, flens,
+        labels=jnp.zeros((1, 4), jnp.int32),
+        label_lengths=jnp.asarray([4]),
+    )["params"]
+
+    gen_cfg = BeamSearchConfig(num_beams=2, max_length=8, ctc_weight=0.3,
+                               num_candidates=8)
+    sess = StreamingJointSession(
+        model, params, frontend, gen_cfg, bucket_seconds=(0.5, 1, 2),
+    )
+    out = None
+    for start in range(0, len(audio), 8000):
+        out = sess.feed(audio[start : start + 8000])
+
+    wav = jnp.asarray(audio)[None]
+    seqs, _ = generate_joint(
+        model, params, *frontend(wav, jnp.asarray([len(audio)])), gen_cfg
+    )
+    specials = {gen_cfg.bos_token_id, gen_cfg.eos_token_id, gen_cfg.pad_token_id}
+    full = [int(t) for t in np.asarray(seqs)[0, 0] if int(t) not in specials]
+    assert out == full
