@@ -19,6 +19,40 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _read_piped_wav(command: str, target_rate: int) -> np.ndarray:
+    """Run a Kaldi-style piped wav.scp command ("... |") and parse the WAV
+    bytes from its stdout (reference kaldi_dataset.py:107-124)."""
+    import io
+    import subprocess
+
+    from scipy.io import wavfile
+
+    proc = subprocess.run(
+        command.rstrip().rstrip("|"),
+        shell=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        check=True,
+    )
+    rate, data = wavfile.read(io.BytesIO(proc.stdout))
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    if rate != target_rate:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(rate, target_rate)
+        data = resample_poly(data, target_rate // g, rate // g).astype(np.float32)
+    return data
+
+
 def _read_wav(path: str, target_rate: int) -> Tuple[np.ndarray, int]:
     from scipy.io import wavfile
 
@@ -66,12 +100,14 @@ def iter_kaldi_examples(
     def load(rec_id: str) -> np.ndarray:
         if rec_id not in cache:
             entry = wav_scp[rec_id]
-            if "|" in entry:
-                raise NotImplementedError(
-                    "piped wav.scp entries are not supported; materialize wavs first"
-                )
             cache.clear()  # keep at most one recording resident
-            cache[rec_id], _ = _read_wav(entry, sampling_rate)
+            if entry.rstrip().endswith("|"):
+                # Piped command producing a WAV on stdout (Kaldi convention;
+                # reference kaldi_dataset.py:107-124 reads these through a
+                # shell pipe). Example: "sox foo.sph -t wav - |".
+                cache[rec_id] = _read_piped_wav(entry, sampling_rate)
+            else:
+                cache[rec_id], _ = _read_wav(entry, sampling_rate)
         return cache[rec_id]
 
     if os.path.exists(segments_path):
@@ -94,7 +130,7 @@ def iter_kaldi_examples(
         for utt_id, path in wav_scp.items():
             if utt_id not in text:
                 continue
-            audio, _ = _read_wav(path, sampling_rate)
+            audio = load(utt_id)
             yield {
                 "id": utt_id,
                 "audio": audio,

@@ -136,3 +136,21 @@ def test_decoder_residual_head():
     assert params["lm_head"]["kernel"].shape == (32, 20)
     out = dec.apply({"params": params}, tokens, labels=tokens, label_mask=mask)
     assert np.isfinite(float(out.loss))
+
+
+def test_kaldi_builder_piped_wav_scp(tmp_path):
+    """Piped wav.scp commands ("cmd |") read WAV bytes from stdout
+    (reference kaldi_dataset.py:107-124)."""
+    from huggingface_asr_tpu.data.builders import iter_kaldi_examples
+
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(8000).astype(np.float32) * 0.1
+    _write_wav(str(tmp_path / "p.wav"), audio)
+    (tmp_path / "wav.scp").write_text(f"p cat {tmp_path}/p.wav |\n")
+    (tmp_path / "text").write_text("p piped words\n")
+    examples = list(iter_kaldi_examples(str(tmp_path)))
+    assert len(examples) == 1
+    assert examples[0]["text"] == "piped words"
+    got = examples[0]["audio"]
+    ref = (audio * 32767).astype(np.int16).astype(np.float32) / 32768.0
+    np.testing.assert_allclose(got, ref, atol=1e-6)
