@@ -1,0 +1,10 @@
+#!/usr/bin/env bash
+# Tokenizer for the wsj recipe (reference anchor:
+# recipes_v0.0.1/wsj/train_tokenizer*.sh).
+set -euo pipefail
+EXP=${EXP:-exp/wsj}
+
+python -m huggingface_asr_tpu.cli.train_tokenizer \
+  --datasets_creation_config recipes/wsj/datasets.json \
+  --tokenizer_type unigram --vocab_size 500 \
+  --tokenizer_output_dir "$EXP/tokenizer"
