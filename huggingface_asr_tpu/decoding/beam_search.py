@@ -118,6 +118,17 @@ def joint_beam_search(
     ``config.return_components``.
     """
     cfg = config
+    if cfg.ctc_margin not in (0, None):
+        # Frame windowing trades exactness for compute on sequential
+        # hardware; on TPU the full-T scan is already a fused batched
+        # program, so the windowed variant would be slower (dynamic slicing
+        # defeats XLA tiling). All released reference decode configs use 0
+        # (hf_shared_models/DeCRED_base.py:20-23). Refuse loudly rather than
+        # silently ignore.
+        raise NotImplementedError(
+            "ctc_margin frame windowing is intentionally unsupported on TPU "
+            "(full-T scoring is faster here); use ctc_margin=0"
+        )
     B, W, K = batch_size, cfg.num_beams, cfg.num_candidates
     L = cfg.max_length
     BW = B * W

@@ -43,6 +43,11 @@ class EBranchformerConfig:
     # "xla" | "pallas": pallas = fused VMEM-resident rel-pos attention kernel
     # (inference path; relative positions, non-causal).
     attention_impl: str = "xla"
+    # Relative-position term evaluation: "gather" contracts a (T,T,H,dh)
+    # gathered table (best backward on v5e); "shift" is one big
+    # (B*T*H,dh)x(dh,2T-1) MXU matmul + Transformer-XL shift (bitwise-equal
+    # scores, measured faster for batched inference).
+    relpos_impl: str = "gather"  # gather | shift
     # Rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades ~30% step FLOPs for O(layers) activation memory — the lever for
     # scaling batch size / sequence length.

@@ -181,6 +181,17 @@ def rotary_cos_sin(seq_len: int, head_size: int, base: int = 10000, dtype=jnp.fl
     return jnp.asarray(np.cos(emb), dtype), jnp.asarray(np.sin(emb), dtype)
 
 
+def _rel_shift(scores_bd: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL shift: (B, H, T, 2T-1) -> (B, H, T, T) with
+    out[t, s] = in[t, t - s + T - 1] (our pos table runs positions
+    T-1..-(T-1)). Realized as reverse + pad + two reshapes — no gather."""
+    B, H, T, L = scores_bd.shape
+    rev = scores_bd[..., ::-1]
+    padded = jnp.pad(rev, ((0, 0), (0, 0), (0, 0), (0, 1)))  # (B,H,T,2T)
+    flat = padded.reshape(B, H, T * (L + 1))[..., : T * L]
+    return flat.reshape(B, H, T, L)[..., T - 1 : L]
+
+
 class EBranchformerSelfAttention(nn.Module):
     """Multi-head self-attention with relative/rotary positions + causal option."""
 
@@ -227,18 +238,23 @@ class EBranchformerSelfAttention(nn.Module):
                 return nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_out")(out)
 
             scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
-            # Transformer-XL positional term computed by gathering the pos
-            # table to (T, T, H, dh) once and contracting directly — avoids
-            # materializing the (B, H, T, 2T-1) scores_bd tensor + the
-            # pad/reshape shift copies. Measured faster than the classic
-            # shift trick on v5e for BOTH forward (~1.6x) and training steps
-            # (~1.5x — the T²-row scatter-add backward is still cheaper than
-            # the shift path's extra materializations); math identical.
-            d_idx = (
-                jnp.arange(T)[:, None] - jnp.arange(T)[None, :] + (T - 1)
-            )  # (T, T) relative-offset index into the 2T-1 table
-            pos_g = pos[d_idx]  # (T, T, H, dh)
-            scores_bd = jnp.einsum("bthd,tshd->bhts", q_v, pos_g)
+            if cfg.relpos_impl == "shift":
+                # One large MXU matmul over the raw (2T-1) table, then the
+                # Transformer-XL pad/reshape shift. The (t,h)-batched gather
+                # contraction below is latency-bound at inference (T*H tiny
+                # grouped matmuls); this form is a single big dot.
+                bd_all = jnp.einsum("bthd,rhd->bhtr", q_v, pos)  # (B,H,T,2T-1)
+                scores_bd = _rel_shift(bd_all)
+            else:
+                # Gathered-table contraction — avoids materializing the
+                # (B, H, T, 2T-1) tensor; measured faster for TRAINING on
+                # v5e (scatter-add backward beats the shift path's extra
+                # materializations); math identical either way.
+                d_idx = (
+                    jnp.arange(T)[:, None] - jnp.arange(T)[None, :] + (T - 1)
+                )  # (T, T) relative-offset index into the 2T-1 table
+                pos_g = pos[d_idx]  # (T, T, H, dh)
+                scores_bd = jnp.einsum("bthd,tshd->bhts", q_v, pos_g)
             scores = (scores_ac + scores_bd) / jnp.sqrt(dh).astype(self.dtype)
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(dh).astype(self.dtype)

@@ -39,6 +39,10 @@ class LLMASRConfig:
     decoder: GPT2DecoderConfig = GPT2DecoderConfig(add_cross_attention=False)
     number_of_prompt_tokens: int = 16
     ctc_weight: float = 0.0  # aux encoder CTC loss weight
+    # Text-prompting variant (reference whisper_llm_prompting.py): feed the
+    # deduplicated CTC hypothesis TOKEN IDS through the LLM's own embedding
+    # table instead of projected encoder frame embeddings.
+    prompt_with_tokens: bool = False
     freeze_asr: bool = False
     freeze_llm: bool = False
 
@@ -90,13 +94,22 @@ class LLMASRModel(nn.Module):
         prev = jnp.pad(preds[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
         keep = (preds != cfg.encoder.blank_token_id) & (preds != prev) & valid_t
 
-        frame_feats = nn.Dense(dcfg.n_embd, dtype=self.dtype, name="linear")(enc_hidden)
         pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
         pos = jnp.where(keep, pos, T)
-        asr_buf = jnp.zeros((B, T + 1, dcfg.n_embd), self.dtype)
-        asr_buf = jax.vmap(lambda buf, p, v: buf.at[p].set(v))(asr_buf, pos, frame_feats)
-        asr_buf = asr_buf[:, :T]
         n_asr = jnp.sum(keep, axis=1).astype(jnp.int32)
+        asr_buf = None
+        asr_tok_buf = None
+        if cfg.prompt_with_tokens:
+            # compact the surviving token IDS (text prompting)
+            pad_tok = dcfg.pad_token_id if dcfg.pad_token_id is not None else 0
+            tok_buf = jnp.full((B, T + 1), pad_tok, jnp.int32)
+            tok_buf = jax.vmap(lambda buf, p, v: buf.at[p].set(v))(tok_buf, pos, preds)
+            asr_tok_buf = tok_buf[:, :T]
+        else:
+            frame_feats = nn.Dense(dcfg.n_embd, dtype=self.dtype, name="linear")(enc_hidden)
+            asr_buf = jnp.zeros((B, T + 1, dcfg.n_embd), self.dtype)
+            asr_buf = jax.vmap(lambda buf, p, v: buf.at[p].set(v))(asr_buf, pos, frame_feats)
+            asr_buf = asr_buf[:, :T]
 
         soft_prompt = self.param(
             "soft_prompt", nn.initializers.normal(0.02),
@@ -111,6 +124,9 @@ class LLMASRModel(nn.Module):
         # --- token-id plan: [bos][pad×P][pad×T][pad][labels at 1+P+n+1]
         tok_plan = jnp.full((B, L_total), pad_id, jnp.int32)
         tok_plan = tok_plan.at[:, 0].set(dcfg.bos_token_id)
+        if cfg.prompt_with_tokens:
+            # hypothesis tokens are REAL input ids — embedded by the LLM's wte
+            tok_plan = tok_plan.at[:, 1 + P : 1 + P + T].set(asr_tok_buf)
         if labels is not None:
             tok_plan = jax.vmap(
                 lambda row, n, lab: jax.lax.dynamic_update_slice(row, lab, (1 + P + n + 1,))
@@ -119,13 +135,19 @@ class LLMASRModel(nn.Module):
         # --- embedding overlay: prompts, ASR frames, end prompt
         overlay = jnp.zeros((B, L_total, dcfg.n_embd), self.dtype)
         overlay = overlay.at[:, 1 : 1 + P].set(prompts[None])
-        overlay = overlay.at[:, 1 + P : 1 + P + T].set(asr_buf)
+        if not cfg.prompt_with_tokens:
+            overlay = overlay.at[:, 1 + P : 1 + P + T].set(asr_buf)
         pos_idx = jnp.arange(L_total)[None, :]
         end_pos = (1 + P + n_asr)[:, None]
         overlay = jnp.where(
             (pos_idx == end_pos)[..., None], end_prompt[None, None, :], overlay
         )
-        overlay_mask = (pos_idx >= 1) & (pos_idx <= end_pos)  # prompts+asr+end
+        if cfg.prompt_with_tokens:
+            # only prompts + end prompt are overlaid; hypothesis tokens embed
+            # through wte like ordinary text
+            overlay_mask = ((pos_idx >= 1) & (pos_idx < 1 + P)) | (pos_idx == end_pos)
+        else:
+            overlay_mask = (pos_idx >= 1) & (pos_idx <= end_pos)  # prompts+asr+end
 
         decoder = GPT2MultiHeadDecoder(dcfg, self.dtype, name="decoder")
         dec_out = decoder(

@@ -83,3 +83,65 @@ def test_freeze_masks():
     updates, _ = tx.update(grads, opt_state, params)  # past any 0-lr warmup step
     assert all(float(jnp.abs(u).sum()) == 0.0 for u in jax.tree.leaves(updates["decoder"]))
     assert any(float(jnp.abs(u).sum()) > 0.0 for u in jax.tree.leaves(updates["encoder"]))
+
+
+def test_prompting_variant_token_plan():
+    """Text-prompting variant (reference whisper_llm_prompting.py): the
+    deduplicated CTC hypothesis ids appear as REAL input ids in the plan and
+    the loss trains the label tail."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, prompt_with_tokens=True)
+    model = LLMASRModel(cfg)
+    rng = np.random.default_rng(0)
+    B, T_mel = 2, 40
+    feats = jnp.asarray(rng.standard_normal((B, T_mel, 80)), jnp.float32)
+    lens = jnp.asarray([T_mel, T_mel - 8])
+    labels = jnp.asarray(rng.integers(4, 40, (B, 5)), jnp.int32)
+    llens = jnp.asarray([5, 3])
+    params = model.init(jax.random.key(0), feats, lens, labels, llens)["params"]
+    out = model.apply({"params": params}, feats, lens, labels, llens)
+    assert np.isfinite(float(out.loss))
+    # the ASR region of the plan carries real (non-overlaid) token ids
+    P = cfg.number_of_prompt_tokens
+    plan = np.asarray(out.token_plan)
+    n = np.asarray(out.asr_lengths)
+    pad = cfg.decoder.pad_token_id or 0
+    for b in range(B):
+        region = plan[b, 1 + P : 1 + P + n[b]]
+        assert (region != pad).all() or n[b] == 0
+    # no frame-projection parameter exists in this variant
+    assert "linear" not in params
+
+
+def test_vocab_subset_extraction():
+    """get_token_subset keeps charset tokens + specials with a dense one-to-one
+    remapping (reference local_utils.py:95-113)."""
+    from transformers import AutoTokenizer
+
+    from huggingface_asr_tpu.utils.vocab_subset import (
+        get_token_subset,
+        map_ids,
+        subset_lm_head,
+    )
+
+    tok = AutoTokenizer.from_pretrained("gpt2") if False else None
+    # offline env: build a tiny fake tokenizer instead
+    class FakeTok:
+        vocab = {"a": 0, "b": 1, "ü": 2, "<s>": 3, "Ω": 4, " c": 5}
+        all_special_tokens = ["<s>"]
+
+        def __len__(self):
+            return 6
+
+        def decode(self, i):
+            return {0: "a", 1: "b", 2: "ü", 3: "<s>", 4: "Ω", 5: " c"}[i]
+
+    mapping, inverted, removed = get_token_subset(FakeTok())
+    assert set(removed) == {2, 4}
+    assert mapping == {0: 0, 1: 1, 3: 2, 5: 3}
+    assert inverted[2] == 3
+    kernel = np.arange(12, dtype=np.float32).reshape(2, 6)
+    small = subset_lm_head(kernel, mapping)
+    np.testing.assert_array_equal(small, kernel[:, [0, 1, 3, 5]])
+    assert map_ids([0, 2, 5], mapping) == [0, 3]

@@ -145,7 +145,13 @@ def reference_decode(work: str, ds_dir: str, tok_dir: str, ckpt: str):
     for ex in dd:
         wav = np.asarray(ex["audio"], np.float32)
         audio_sec += len(wav) / 16000.0
-        feats, flens = frontend(jnp.asarray(wav)[None], jnp.asarray([len(wav)]))
+        # bucket-pad to 1 s so the jitted frontend compiles a handful of
+        # shapes instead of one per utterance length
+        n = len(wav)
+        padded = int(np.ceil(n / 16000.0)) * 16000
+        wav_p = np.zeros(padded, np.float32)
+        wav_p[:n] = wav
+        feats, flens = frontend(jnp.asarray(wav_p)[None], jnp.asarray([n]))
         feats = np.asarray(feats)[:, : int(flens[0])]
         t0 = time.perf_counter()
         with torch.no_grad():
