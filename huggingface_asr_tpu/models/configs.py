@@ -46,8 +46,10 @@ class EBranchformerConfig:
     # Relative-position term evaluation: "gather" contracts a (T,T,H,dh)
     # gathered table (best backward on v5e); "shift" is one big
     # (B*T*H,dh)x(dh,2T-1) MXU matmul + Transformer-XL shift (bitwise-equal
-    # scores, measured faster for batched inference).
-    relpos_impl: str = "gather"  # gather | shift
+    # scores, measured faster for batched inference); "factored" is the exact
+    # sinusoid-addition factorization (rotate the pos-projected query by -w*t,
+    # contract against the ascending table) — pure MXU, no gather/shift.
+    relpos_impl: str = "gather"  # gather | shift | factored
     # Rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades ~30% step FLOPs for O(layers) activation memory — the lever for
     # scaling batch size / sequence length.

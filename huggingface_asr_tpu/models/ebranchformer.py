@@ -218,44 +218,82 @@ class EBranchformerSelfAttention(nn.Module):
         v = nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_v")(x).reshape(B, T, H, dh)
 
         if cfg.position_embeddings_type == "relative":
-            pos = nn.Dense(D, use_bias=False, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_pos")(pos_emb)
-            pos = pos.reshape(-1, H, dh)  # (2T-1, H, dh)
+            linear_pos = nn.Dense(
+                D, use_bias=False, dtype=self.dtype, kernel_init=_winit(cfg),
+                name="linear_pos",
+            )
             bias_u = self.param("pos_bias_u", nn.initializers.zeros, (H, dh), jnp.float32)
             bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, dh), jnp.float32)
             q_u = q + bias_u.astype(self.dtype)
             q_v = q + bias_v.astype(self.dtype)
 
-            use_pallas = (
-                cfg.attention_impl == "pallas"
-                and deterministic
-                and not cfg.is_causal
-                and lengths is not None
-            )
-            if use_pallas:
-                from huggingface_asr_tpu.ops.pallas_attention import rel_attention
-
-                out = rel_attention(q_u, q_v, k, v, pos, lengths).reshape(B, T, D)
-                return nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_out")(out)
-
-            scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
-            if cfg.relpos_impl == "shift":
-                # One large MXU matmul over the raw (2T-1) table, then the
-                # Transformer-XL pad/reshape shift. The (t,h)-batched gather
-                # contraction below is latency-bound at inference (T*H tiny
-                # grouped matmuls); this form is a single big dot.
-                bd_all = jnp.einsum("bthd,rhd->bhtr", q_v, pos)  # (B,H,T,2T-1)
-                scores_bd = _rel_shift(bd_all)
+            if cfg.relpos_impl == "factored":
+                # EXACT sinusoid-addition factorization of the Transformer-XL
+                # positional term — no gather, no (2T-1) materialization, no
+                # shift; every op is an MXU matmul. Derivation:
+                #   bd[t,s] = q_v[t]^T (W_pos PE)[t-s+T-1]
+                # and the table row at index t-s+T-1 holds the sinusoid at
+                # angle w_i*(s-t), so with the addition theorem
+                #   PE[s-t] = R(-w t) PE_std[s]
+                # (R = per-frequency 2x2 rotation), giving
+                #   bd[t,s] = rot_t(W_pos^T q_v[t]) . PE_std[s]
+                # i.e. a rotary-transformed query contracted against the
+                # ASCENDING standard table (pos_emb is not consumed here —
+                # the tables below are the same sinusoids, re-indexed).
+                eye = jnp.eye(D, dtype=self.dtype)
+                wp = linear_pos(eye).reshape(D, H, dh)  # kernel (Din, H, dh)
+                qw = jnp.einsum("bthd,Dhd->bthD", q_v, wp)  # (B, T, H, D)
+                half = np.exp(
+                    np.arange(0, D, 2, dtype=np.float64) * -(np.log(10000.0) / D)
+                )
+                angles = np.arange(T, dtype=np.float64)[:, None] * half
+                cos_t = jnp.asarray(np.cos(angles), self.dtype)
+                sin_t = jnp.asarray(np.sin(angles), self.dtype)
+                r_cos = cos_t[None, :, None, :]
+                r_sin = sin_t[None, :, None, :]
+                qe, qo = qw[..., 0::2], qw[..., 1::2]
+                q_rot = jnp.concatenate(
+                    [r_cos * qe + r_sin * qo, r_cos * qo - r_sin * qe], axis=-1
+                )  # (B, T, H, D): [rotated-sin | rotated-cos] halves
+                k_std = jnp.concatenate([sin_t, cos_t], axis=-1)  # (T, D)
+                scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
+                scores_bd = jnp.einsum("bthD,sD->bhts", q_rot, k_std)
+                scores = (scores_ac + scores_bd) / jnp.sqrt(dh).astype(self.dtype)
             else:
-                # Gathered-table contraction — avoids materializing the
-                # (B, H, T, 2T-1) tensor; measured faster for TRAINING on
-                # v5e (scatter-add backward beats the shift path's extra
-                # materializations); math identical either way.
-                d_idx = (
-                    jnp.arange(T)[:, None] - jnp.arange(T)[None, :] + (T - 1)
-                )  # (T, T) relative-offset index into the 2T-1 table
-                pos_g = pos[d_idx]  # (T, T, H, dh)
-                scores_bd = jnp.einsum("bthd,tshd->bhts", q_v, pos_g)
-            scores = (scores_ac + scores_bd) / jnp.sqrt(dh).astype(self.dtype)
+                pos = linear_pos(pos_emb)
+                pos = pos.reshape(-1, H, dh)  # (2T-1, H, dh)
+
+                use_pallas = (
+                    cfg.attention_impl == "pallas"
+                    and deterministic
+                    and not cfg.is_causal
+                    and lengths is not None
+                )
+                if use_pallas:
+                    from huggingface_asr_tpu.ops.pallas_attention import rel_attention
+
+                    out = rel_attention(q_u, q_v, k, v, pos, lengths).reshape(B, T, D)
+                    return nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_out")(out)
+
+                scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
+                if cfg.relpos_impl == "shift":
+                    # One large MXU matmul over the raw (2T-1) table, then the
+                    # Transformer-XL pad/reshape shift. The (t,h)-batched gather
+                    # contraction below is latency-bound at inference (T*H tiny
+                    # grouped matmuls); this form is a single big dot.
+                    bd_all = jnp.einsum("bthd,rhd->bhtr", q_v, pos)  # (B,H,T,2T-1)
+                    scores_bd = _rel_shift(bd_all)
+                else:
+                    # Gathered-table contraction — avoids materializing the
+                    # (B, H, T, 2T-1) tensor; measured faster for TRAINING on
+                    # v5e (scatter-add backward beats the shift path's extra
+                    # materializations); math identical either way.
+                    d_idx = (
+                        jnp.arange(T)[:, None] - jnp.arange(T)[None, :] + (T - 1)
+                    )  # (T, T) relative-offset index into the 2T-1 table
+                    pos_g = pos[d_idx]  # (T, T, H, dh)
+                    scores_bd = jnp.einsum("bthd,tshd->bhts", q_v, pos_g)
+                scores = (scores_ac + scores_bd) / jnp.sqrt(dh).astype(self.dtype)
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(dh).astype(self.dtype)
 

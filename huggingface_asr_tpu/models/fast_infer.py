@@ -1,0 +1,105 @@
+"""Fast CTC inference path: fused Pallas encoder layers over a Flax checkpoint.
+
+``ctc_infer_fused(params, cfg, features, lengths)`` is a drop-in functional
+equivalent of ``EBranchformerForCTC.apply(...)`` for the serving/benchmark
+path (deterministic, non-causal, relative positions): the conv front end,
+feature projection and CTC heads run as plain XLA, and each encoder layer
+runs as ONE Pallas mega-kernel (ops/pallas_layer.py) that keeps activations
+VMEM-resident for the whole layer.
+
+Weight folding (``fold_layer_weights``) happens at trace time, so under jit
+the folded tensors are computed once and live on device.
+
+Restrictions (use the standard path otherwise): relative positions,
+non-causal, no layer mixing / additional layer, csgu_use_linear_after_conv
+off, T padded to a multiple of 8 internally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from huggingface_asr_tpu.models.configs import EBranchformerConfig
+from huggingface_asr_tpu.models.ebranchformer import (
+    Conv2dFeatureExtractor,
+    CTCOutput,
+    FeatureProjection,
+    feat_extract_output_lengths,
+)
+from huggingface_asr_tpu.ops.lengths import lengths_to_mask
+from huggingface_asr_tpu.ops.pallas_layer import (
+    ebranchformer_layer,
+    fold_layer_weights,
+)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def ctc_infer_fused(
+    params: Dict[str, Any],
+    cfg: EBranchformerConfig,
+    input_features: jnp.ndarray,     # (B, T_in, num_fbanks)
+    input_lengths: jnp.ndarray,      # (B,)
+    *,
+    bb: int = 4,
+    interpret: bool = False,
+) -> CTCOutput:
+    if cfg.position_embeddings_type != "relative" or cfg.is_causal:
+        raise ValueError("fused path supports non-causal relative-position models")
+    if cfg.finetune_with_layer_mixing or cfg.finetune_with_additional_layer:
+        raise ValueError("fused path does not support fine-tune adapters")
+    dtype = jnp.bfloat16
+    enc_p = params["wav2vec2"]
+
+    extract = Conv2dFeatureExtractor(cfg, dtype, name=None).apply(
+        {"params": enc_p["feature_extractor"]}, input_features
+    )
+    hidden, _ = FeatureProjection(cfg, dtype, name=None).apply(
+        {"params": enc_p["feature_projection"]}, extract, True
+    )
+
+    out_lengths = feat_extract_output_lengths(cfg, input_lengths).astype(jnp.int32)
+    out_lengths = jnp.clip(out_lengths, 0, hidden.shape[1])
+
+    B, T, D = hidden.shape
+    T_pad = _round_up(T, 8)
+    if T_pad != T:
+        hidden = jnp.pad(hidden, ((0, 0), (0, T_pad - T), (0, 0)))
+    mask = lengths_to_mask(out_lengths, T_pad)
+    x = jnp.where(mask[..., None], hidden, 0.0).astype(dtype)
+
+    for i in range(cfg.num_hidden_layers):
+        w = fold_layer_weights(enc_p["encoder"][f"layers_{i}"], cfg, T_pad)
+        x = ebranchformer_layer(
+            x, out_lengths, w, cfg, bb=bb, interpret=interpret
+        )
+
+    # final encoder LayerNorm (params["wav2vec2"]["encoder"]["layer_norm"])
+    ln = enc_p["encoder"]["layer_norm"]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+    x = (
+        xf * jnp.asarray(ln["scale"], jnp.float32)
+        + jnp.asarray(ln["bias"], jnp.float32)
+    ).astype(dtype)
+
+    if T_pad != T:
+        x = x[:, :T]
+
+    vocab = jnp.dot(
+        x, jnp.asarray(params["lm_head"]["kernel"], dtype),
+        preferred_element_type=jnp.float32,
+    ) + jnp.asarray(params["lm_head"]["bias"], jnp.float32)
+    blank = jnp.dot(
+        x, jnp.asarray(params["blank_projection"]["kernel"], dtype),
+        preferred_element_type=jnp.float32,
+    ) + jnp.asarray(params["blank_projection"]["bias"], jnp.float32)
+    logits = jnp.concatenate([vocab, blank], axis=-1).astype(dtype)
+    return CTCOutput(logits=logits, logit_lengths=out_lengths, loss=None)

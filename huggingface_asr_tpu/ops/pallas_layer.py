@@ -1,0 +1,409 @@
+"""Fused E-Branchformer encoder layer — single Pallas TPU mega-kernel.
+
+Inference-path replacement for ``EBranchformerEncoderLayer`` (non-causal,
+relative positions, deterministic). The XLA layer is memory-bound at these
+widths (D=256): ~10 matmuls plus 6 LayerNorms, 2 depthwise convs, softmax and
+gating each round-trip the (B, T, ·) activations through HBM. This kernel
+keeps one block of batches fully VMEM-resident for the WHOLE layer — HBM
+traffic collapses to x-in + x-out + weights (weights are loaded once: their
+BlockSpec index map is constant, so Mosaic keeps them resident across grid
+steps).
+
+Design notes:
+  * Relative positions use the EXACT sinusoid-addition factorization (see
+    ``relpos_impl="factored"`` in models/ebranchformer.py): the positional
+    term becomes ``rot_t(W_pos^T q_v[t]) . PE_std[s]`` — a clean K=D MXU
+    matmul per (batch, head); no gather, no Transformer-XL shift. W_pos^T is
+    pre-folded into a per-head (D, D) projection of the POST-LayerNorm input
+    (``fold_layer_weights``), so the kernel never sees the raw pos table.
+  * Depthwise convs (CSGU kernel-31 and merge-fusion kernel-31) are computed
+    from a zero-padded VMEM buffer with K static-offset slice-FMAs — pure VPU,
+    fp32 accumulation, no rolls or masks.
+  * Grid is (B // bb,); per-program VMEM is ~8 MB of activations at bb=4,
+    T=256 plus ~5 MB of resident weights.
+
+Semantics match the XLA layer at the same padded T (padding rows flow through
+LN/FF/conv identically in both implementations; attention masks key columns
+by true length). Parity is asserted by tests/test_pallas_layer.py.
+
+Reference behavior spec: /root/reference/src/models/encoders/e_branchformer.py
+(Wav2Vec2EBranchformerEncoderLayer.forward, :263-313).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e9
+
+ACT_F32 = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "swish": jax.nn.silu,
+    "silu": jax.nn.silu,
+    "identity": lambda x: x,
+}
+
+# Fixed input order for the kernel (after the scalar-prefetch lengths).
+WEIGHT_FIELDS = (
+    # macaron FF1
+    "ff1_ln_g", "ff1_ln_b", "ff1_wi", "ff1_bi", "ff1_wo", "ff1_bo",
+    # attention
+    "attn_ln_g", "attn_ln_b",
+    "wq", "bq_u",            # bias_u pre-folded into bq_u
+    "wk", "bk", "wv", "bv",
+    "wo", "bo",
+    "cpos_e", "cpos_o",      # (H, D, D/2) folded q->pos projection, de-interleaved
+    "qb_e", "qb_o",          # (H, D/2) folded pos bias
+    "rot_cos", "rot_sin",    # (T, D/2) rotation tables
+    "k_std",                 # (T, D) ascending sinusoid table [sin | cos]
+    # cgMLP
+    "cg_ln_g", "cg_ln_b", "cg_w1", "cg_b1",
+    "csgu_ln_g", "csgu_ln_b", "csgu_dw", "csgu_dw_b",
+    "cg_w2", "cg_b2",
+    # merge
+    "merge_dw", "merge_dw_b", "merge_w", "merge_b",
+    # macaron FF2 + final LN
+    "ff2_ln_g", "ff2_ln_b", "ff2_wi", "ff2_bi", "ff2_wo", "ff2_bo",
+    "final_ln_g", "final_ln_b",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerStatic:
+    """Static shape/config parameters baked into the kernel."""
+
+    T: int
+    D: int
+    H: int
+    I: int            # intermediate_size
+    k_csgu: int
+    k_merge: int
+    eps: float
+    hidden_act: str
+    csgu_act: str
+    bb: int = 4       # batches per program
+
+    @property
+    def dh(self) -> int:
+        return self.D // self.H
+
+
+def _ln(h, g_ref, b_ref, eps):
+    """LayerNorm over lanes; fp32 statistics, bf16 out (matches Flax)."""
+    hf = h.astype(jnp.float32)
+    mu = jnp.mean(hf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
+    y = (hf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    return y.astype(jnp.bfloat16)
+
+
+def _mm(a, w_ref, b_ref=None):
+    """bf16 x bf16 -> f32-accumulated matmul (+bias), bf16 out."""
+    out = jnp.dot(a, w_ref[...], preferred_element_type=jnp.float32)
+    if b_ref is not None:
+        out = out + b_ref[0].astype(jnp.float32)
+    return out.astype(jnp.bfloat16)
+
+
+PAD_ALLOC = 16  # sublane padding rows above/below each batch's T rows
+
+
+def _dwconv(x_bTC, w_ref, b_ref, pad_scratch, K, C):
+    """Depthwise conv along T: zero-padded buffer + K static slice-FMAs.
+
+    x_bTC: (bb, T, C) bf16. pad_scratch: (bb, T + 2*PAD_ALLOC, >=C) bf16 ref.
+    Returns (bb, T, C) float32 (accumulator — caller applies act/gate).
+    """
+    bb, T, _ = x_bTC.shape
+    P = (K - 1) // 2
+    pad_scratch[...] = jnp.zeros(pad_scratch.shape, jnp.bfloat16)
+    pad_scratch[:, PAD_ALLOC : PAD_ALLOC + T, :C] = x_bTC
+    acc = jnp.broadcast_to(b_ref[0, :].astype(jnp.float32), (bb, T, C))
+    for j in range(K):
+        off = PAD_ALLOC + j - P
+        tap = pad_scratch[:, off : off + T, :C].astype(jnp.float32)
+        acc = acc + tap * w_ref[j, :].astype(jnp.float32)
+    return acc
+
+
+def _layer_kernel(len_ref, *refs, st: LayerStatic):
+    w = dict(zip(("x",) + WEIGHT_FIELDS, refs[: -3]))
+    o_ref = refs[-3]
+    attn_scratch = refs[-2]
+    pad_scratch = refs[-1]
+    T, D, H, dh, I, bb = st.T, st.D, st.H, st.dh, st.I, st.bb
+    eps = st.eps
+    N = bb * T
+
+    x = w["x"][...].reshape(N, D)  # (bb*T, D) bf16
+
+    # ---- macaron FF1: x += 0.5 * FF(LN(x))
+    h = _ln(x, w["ff1_ln_g"], w["ff1_ln_b"], eps)
+    h = _mm(h, w["ff1_wi"], w["ff1_bi"])
+    h = ACT_F32[st.hidden_act](h.astype(jnp.float32)).astype(jnp.bfloat16)
+    h = _mm(h, w["ff1_wo"], w["ff1_bo"])
+    x = (x.astype(jnp.float32) + 0.5 * h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    residual = x
+
+    # ---- attention branch (global; factored relative positions)
+    g = _ln(x, w["attn_ln_g"], w["attn_ln_b"], eps)
+    q_u = _mm(g, w["wq"], w["bq_u"])       # (N, D) with bias_u folded in
+    k = _mm(g, w["wk"], w["bk"])
+    v = _mm(g, w["wv"], w["bv"])
+
+    # rotated positional query, all heads: loop h over per-head (D,D) fold
+    rot_cos = w["rot_cos"][...].astype(jnp.float32)  # (T, half)
+    rot_sin = w["rot_sin"][...].astype(jnp.float32)
+    cos_n = jnp.concatenate([rot_cos] * bb, axis=0)  # (N, half)
+    sin_n = jnp.concatenate([rot_sin] * bb, axis=0)
+    k_std = w["k_std"][...]                          # (T, D) bf16
+
+    inv = np.float32(1.0 / np.sqrt(dh))
+    base = pl.program_id(0) * bb
+
+    for hd in range(H):
+        qe = jnp.dot(
+            g, w["cpos_e"][hd], preferred_element_type=jnp.float32
+        ) + w["qb_e"][hd, :].astype(jnp.float32)      # (N, D/2)
+        qo = jnp.dot(
+            g, w["cpos_o"][hd], preferred_element_type=jnp.float32
+        ) + w["qb_o"][hd, :].astype(jnp.float32)
+        q_rot = jnp.concatenate(
+            [cos_n * qe + sin_n * qo, cos_n * qo - sin_n * qe], axis=-1
+        ).astype(jnp.bfloat16)                        # (N, D)
+        for b in range(bb):
+            rows = slice(b * T, (b + 1) * T)
+            lanes = slice(hd * dh, (hd + 1) * dh)
+            ac = jax.lax.dot_general(
+                q_u[rows, lanes], k[rows, lanes],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # (T, T)
+            bd = jax.lax.dot_general(
+                q_rot[rows, :], k_std,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # (T, T)
+            scores = (ac + bd) * inv
+            length = len_ref[base + b]
+            col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+            scores = jnp.where(col < length, scores, NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            attn_scratch[rows, lanes] = jnp.dot(
+                probs, v[rows, lanes], preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+
+    g_out = _mm(attn_scratch[...], w["wo"], w["bo"])  # (N, D)
+
+    # ---- cgMLP branch
+    l = _ln(x, w["cg_ln_g"], w["cg_ln_b"], eps)
+    l = _mm(l, w["cg_w1"], w["cg_b1"])                # (N, I)
+    l = ACT_F32["gelu"](l.astype(jnp.float32)).astype(jnp.bfloat16)
+    C = I // 2
+    x_r = l[:, :C]
+    x_g = _ln(l[:, C:], w["csgu_ln_g"], w["csgu_ln_b"], eps)
+
+    acc = _dwconv(
+        x_g.reshape(bb, T, C), w["csgu_dw"], w["csgu_dw_b"], pad_scratch,
+        st.k_csgu, C,
+    )
+    gate = ACT_F32[st.csgu_act](acc).astype(jnp.bfloat16).reshape(N, C)
+    gated = x_r * gate
+    l = _mm(gated, w["cg_w2"], w["cg_b2"])            # (N, D)
+
+    # ---- merge: concat + depthwise fusion + projection, residual
+    merged = jnp.concatenate([g_out, l], axis=-1)     # (N, 2D)
+    fused = _dwconv(
+        merged.reshape(bb, T, 2 * D), w["merge_dw"], w["merge_dw_b"],
+        pad_scratch, st.k_merge, 2 * D,
+    ).astype(jnp.bfloat16).reshape(N, 2 * D)
+    merged = merged + fused
+    x = (
+        residual.astype(jnp.float32)
+        + _mm(merged, w["merge_w"], w["merge_b"]).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+
+    # ---- macaron FF2
+    h = _ln(x, w["ff2_ln_g"], w["ff2_ln_b"], eps)
+    h = _mm(h, w["ff2_wi"], w["ff2_bi"])
+    h = ACT_F32[st.hidden_act](h.astype(jnp.float32)).astype(jnp.bfloat16)
+    h = _mm(h, w["ff2_wo"], w["ff2_bo"])
+    x = (x.astype(jnp.float32) + 0.5 * h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # ---- final LN
+    o_ref[...] = _ln(x, w["final_ln_g"], w["final_ln_b"], eps).reshape(bb, T, D)
+
+
+def fold_layer_weights(
+    lp: Dict[str, Any], cfg, T: int
+) -> Dict[str, jnp.ndarray]:
+    """Extract + pre-fold one Flax layer's params into kernel inputs.
+
+    lp = params["wav2vec2"]["encoder"][f"layers_{i}"] (EBranchformerEncoderLayer).
+    """
+    D = cfg.hidden_size
+    H = cfg.num_attention_heads
+    dh = D // H
+    bf = jnp.bfloat16
+
+    def ln2(p):
+        return (
+            jnp.asarray(p["scale"], bf).reshape(1, -1),
+            jnp.asarray(p["bias"], bf).reshape(1, -1),
+        )
+
+    att = lp["self_attn"]
+    wq = jnp.asarray(att["linear_q"]["kernel"], bf)       # (D, D)
+    bq = jnp.asarray(att["linear_q"]["bias"], jnp.float32)
+    wp = jnp.asarray(att["linear_pos"]["kernel"], jnp.float32)  # (Din=D, D)
+    bias_u = jnp.asarray(att["pos_bias_u"], jnp.float32)  # (H, dh)
+    bias_v = jnp.asarray(att["pos_bias_v"], jnp.float32)
+
+    # cpos[h] = Wq[:, h·dh:(h+1)·dh] @ Wp_r[:, h, :]^T  — maps post-LN input
+    # to the pos-basis query coefficient vector (Din-indexed), split into the
+    # even (sin) and odd (cos) sinusoid channels so the kernel needs no
+    # strided lane slicing.
+    wp_r = wp.reshape(D, H, dh)                            # (Din, H, dh)
+    wq_r = jnp.asarray(wq, jnp.float32).reshape(D, H, dh)  # (Din_x, H, dh)
+    cpos = jnp.einsum("xhd,Dhd->hxD", wq_r, wp_r)          # (H, D, D)
+    cpos_e = cpos[:, :, 0::2].astype(bf)                   # (H, D, D/2)
+    cpos_o = cpos[:, :, 1::2].astype(bf)
+    qb = jnp.einsum("hd,Dhd->hD", bq.reshape(H, dh) + bias_v, wp_r)
+    qb_e = qb[:, 0::2].astype(jnp.float32)                 # (H, D/2)
+    qb_o = qb[:, 1::2].astype(jnp.float32)
+
+    half = np.exp(np.arange(0, D, 2, dtype=np.float64) * -(np.log(10000.0) / D))
+    angles = np.arange(T, dtype=np.float64)[:, None] * half
+    rot_cos = jnp.asarray(np.cos(angles), bf)
+    rot_sin = jnp.asarray(np.sin(angles), bf)
+    k_std = jnp.concatenate([rot_sin, rot_cos], axis=-1)   # (T, D) bf16
+
+    bq_u = (bq.reshape(H, dh) + bias_u).reshape(1, D).astype(bf)
+
+    ff1g, ff1b = ln2(lp["ff1_layer_norm"])
+    attg, attb = ln2(lp["self_attn_layer_norm"])
+    cgg, cgb = ln2(lp["cgMLP_layer_norm"])
+    csgug, csgub = ln2(lp["cgMLP"]["csgu"]["norm"])
+    ff2g, ff2b = ln2(lp["ff2_layer_norm"])
+    fing, finb = ln2(lp["final_layer_norm"])
+
+    # flax depthwise conv kernels: (K, 1, C) for feature_group_count=C
+    csgu_dw = jnp.asarray(lp["cgMLP"]["csgu"]["conv"]["kernel"], bf)
+    csgu_dw = csgu_dw.reshape(csgu_dw.shape[0], -1)       # (K, C)
+    merge_dw = jnp.asarray(lp["depthwise_conv_fusion"]["kernel"], bf)
+    merge_dw = merge_dw.reshape(merge_dw.shape[0], -1)    # (K, 2D)
+
+    def dense(p, name):
+        return (
+            jnp.asarray(p[name]["kernel"], bf),
+            jnp.asarray(p[name]["bias"], bf).reshape(1, -1),
+        )
+
+    ff1_wi, ff1_bi = dense(lp["ff1"], "intermediate_dense")
+    ff1_wo, ff1_bo = dense(lp["ff1"], "output_dense")
+    ff2_wi, ff2_bi = dense(lp["ff2"], "intermediate_dense")
+    ff2_wo, ff2_bo = dense(lp["ff2"], "output_dense")
+    wk, bk = dense(att, "linear_k")
+    wv, bv = dense(att, "linear_v")
+    wo, bo = dense(att, "linear_out")
+    cg_w1, cg_b1 = dense(lp["cgMLP"], "channel_proj1")
+    cg_w2, cg_b2 = dense(lp["cgMLP"], "channel_proj2")
+    merge_w, merge_b = dense(lp, "merge_proj")
+
+    return dict(
+        ff1_ln_g=ff1g, ff1_ln_b=ff1b, ff1_wi=ff1_wi, ff1_bi=ff1_bi,
+        ff1_wo=ff1_wo, ff1_bo=ff1_bo,
+        attn_ln_g=attg, attn_ln_b=attb,
+        wq=wq, bq_u=bq_u, wk=wk, bk=bk, wv=wv, bv=bv, wo=wo, bo=bo,
+        cpos_e=cpos_e, cpos_o=cpos_o, qb_e=qb_e, qb_o=qb_o,
+        rot_cos=rot_cos, rot_sin=rot_sin, k_std=k_std,
+        cg_ln_g=cgg, cg_ln_b=cgb, cg_w1=cg_w1, cg_b1=cg_b1,
+        csgu_ln_g=csgug, csgu_ln_b=csgub,
+        csgu_dw=csgu_dw,
+        csgu_dw_b=jnp.asarray(
+            lp["cgMLP"]["csgu"]["conv"]["bias"], jnp.float32
+        ).reshape(1, -1),
+        cg_w2=cg_w2, cg_b2=cg_b2,
+        merge_dw=merge_dw,
+        merge_dw_b=jnp.asarray(
+            lp["depthwise_conv_fusion"]["bias"], jnp.float32
+        ).reshape(1, -1),
+        merge_w=merge_w, merge_b=merge_b,
+        ff2_ln_g=ff2g, ff2_ln_b=ff2b, ff2_wi=ff2_wi, ff2_bi=ff2_bi,
+        ff2_wo=ff2_wo, ff2_bo=ff2_bo,
+        final_ln_g=fing, final_ln_b=finb,
+    )
+
+
+def ebranchformer_layer(
+    x: jnp.ndarray,           # (B, T, D) bf16
+    lengths: jnp.ndarray,     # (B,) int32 valid frame counts
+    weights: Dict[str, jnp.ndarray],
+    cfg,
+    *,
+    bb: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run one fused E-Branchformer layer. T must be a multiple of 8 and B a
+    multiple of bb."""
+    B, T, D = x.shape
+    if B % bb:
+        raise ValueError(f"B={B} must be a multiple of bb={bb}")
+    if T % 8:
+        raise ValueError(f"T={T} must be a multiple of 8")
+    st = LayerStatic(
+        T=T, D=D, H=cfg.num_attention_heads, I=cfg.intermediate_size,
+        k_csgu=cfg.csgu_kernel_size, k_merge=cfg.merge_conv_kernel,
+        eps=cfg.layer_norm_eps, hidden_act=cfg.hidden_act,
+        csgu_act=cfg.csgu_activation, bb=bb,
+    )
+    if cfg.csgu_use_linear_after_conv:
+        raise NotImplementedError("csgu_use_linear_after_conv: use XLA path")
+
+    w_list = [weights[f] for f in WEIGHT_FIELDS]
+
+    def const_map(ndim):
+        return lambda i, *_: (0,) * ndim
+
+    in_specs = [
+        pl.BlockSpec((bb, T, D), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(wa.shape, const_map(wa.ndim), memory_space=pltpu.VMEM)
+        for wa in w_list
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bb, T, D), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb * T, D), jnp.bfloat16),  # attention head assembly
+            pltpu.VMEM(                             # shared dwconv pad buffer
+                (bb, T + 2 * PAD_ALLOC, max(st.I // 2, 2 * D)), jnp.bfloat16
+            ),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_layer_kernel, st=st),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), x.astype(jnp.bfloat16), *w_list)

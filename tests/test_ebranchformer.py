@@ -208,3 +208,27 @@ def test_golden_parity_gated_frontends(awareness):
     params = convert_ebranchformer_ctc_state_dict(sd, cfg)
     out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray([128, 128]))
     np.testing.assert_allclose(np.asarray(out.logits), golden, rtol=1e-4, atol=3e-4)
+
+
+def test_relpos_impl_equivalence():
+    """gather / shift / factored rel-pos evaluations produce the same logits.
+
+    "factored" is the sinusoid-addition factorization (rotate the
+    pos-projected query by -w*t, contract against the ascending table) — an
+    exact reformulation, so only fp reassociation error is allowed.
+    """
+    import dataclasses
+
+    model, params = _init(TINY)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 120, 80)), jnp.float32)
+    lens = jnp.asarray([120, 75])
+
+    outs = {}
+    for impl in ("gather", "shift", "factored"):
+        cfg = dataclasses.replace(TINY, relpos_impl=impl)
+        m = EBranchformerForCTC(cfg)
+        outs[impl] = np.asarray(m.apply({"params": params}, x, lens).logits)
+
+    np.testing.assert_allclose(outs["shift"], outs["gather"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["factored"], outs["gather"], rtol=1e-4, atol=2e-4)

@@ -1,0 +1,72 @@
+"""Fused Pallas encoder layer vs the Flax XLA path (interpret mode on CPU).
+
+The mega-kernel (ops/pallas_layer.py) must reproduce the standard bf16 model
+at the same padded T: same LN/FF/conv semantics on padding rows, key-masked
+attention, and the EXACT factored relative-position math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from huggingface_asr_tpu.models.configs import EBranchformerConfig
+from huggingface_asr_tpu.models.ebranchformer import EBranchformerForCTC
+from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused
+
+CFG = EBranchformerConfig(
+    hidden_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=256,
+    conv_dim=(32, 32),
+    conv_kernel=(3, 3),
+    conv_stride=(2, 2),
+    conv_padding=(1, 1),
+    csgu_kernel_size=7,
+    merge_conv_kernel=7,
+    vocab_size=50,
+    hidden_dropout=0.0,
+    attention_dropout=0.0,
+    activation_dropout=0.0,
+    csgu_conv_dropout=0.0,
+    final_dropout=0.0,
+)
+
+
+def _setup(B=4, T_in=64):
+    model = EBranchformerForCTC(CFG, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T_in, 80)), jnp.float32)
+    lens = jnp.asarray([T_in, T_in - 8, T_in // 2, T_in - 20], jnp.int32)[:B]
+    params = model.init(jax.random.key(0), x, lens)["params"]
+    return model, params, x, lens
+
+
+def test_fused_layer_matches_flax():
+    model, params, x, lens = _setup()
+    ref = model.apply({"params": params}, x, lens, deterministic=True)
+    got = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(got.logit_lengths), np.asarray(ref.logit_lengths)
+    )
+    r = np.asarray(ref.logits, np.float32)
+    g = np.asarray(got.logits, np.float32)
+    assert g.shape == r.shape
+    # Both paths run bf16 compute with different op orderings; only frames
+    # within each utterance's valid length are comparable by contract.
+    valid = np.arange(r.shape[1])[None, :] < np.asarray(got.logit_lengths)[:, None]
+    diff = np.abs(g - r)[valid]
+    scale = np.abs(r[valid]).max()
+    assert diff.max() <= 0.05 * max(scale, 1.0), (diff.max(), scale)
+
+
+def test_fused_layer_rejects_unsupported():
+    import dataclasses
+
+    model, params, x, lens = _setup()
+    bad = dataclasses.replace(CFG, position_embeddings_type="rotary")
+    with pytest.raises(ValueError):
+        ctc_infer_fused(params, bad, x, lens, interpret=True)
