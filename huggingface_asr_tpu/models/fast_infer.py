@@ -48,6 +48,7 @@ def ctc_infer_fused(
     *,
     bb: int = 4,
     interpret: bool = False,
+    ablate: str = "",
 ) -> CTCOutput:
     if cfg.position_embeddings_type != "relative" or cfg.is_causal:
         raise ValueError("fused path supports non-causal relative-position models")
@@ -76,7 +77,7 @@ def ctc_infer_fused(
     for i in range(cfg.num_hidden_layers):
         w = fold_layer_weights(enc_p["encoder"][f"layers_{i}"], cfg, T_pad)
         x = ebranchformer_layer(
-            x, out_lengths, w, cfg, bb=bb, interpret=interpret
+            x, out_lengths, w, cfg, bb=bb, interpret=interpret, ablate=ablate
         )
 
     # final encoder LayerNorm (params["wav2vec2"]["encoder"]["layer_norm"])

@@ -44,8 +44,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e9
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7 — far below bf16
+    resolution). Mosaic has no erf/erfc primitive; this uses only exp."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+_SQRT_HALF = 0.7071067811865476
+
+
 ACT_F32 = {
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu": lambda x: 0.5 * x * (1.0 + _erf(x * _SQRT_HALF)),
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "relu": jax.nn.relu,
     "swish": jax.nn.silu,
@@ -92,6 +109,10 @@ class LayerStatic:
     hidden_act: str
     csgu_act: str
     bb: int = 4       # batches per program
+    # Benchmark-only ablation: comma-joined subset of
+    # {"no_attn", "no_dwconv", "no_gelu", "no_ff"} — skips that piece to
+    # attribute kernel time. NEVER set in the product path.
+    ablate: str = ""
 
     @property
     def dh(self) -> int:
@@ -137,23 +158,28 @@ def _dwconv(x_bTC, w_ref, b_ref, pad_scratch, K, C):
     return acc
 
 
-def _layer_kernel(len_ref, *refs, st: LayerStatic):
-    w = dict(zip(("x",) + WEIGHT_FIELDS, refs[: -3]))
+def _layer_kernel(*refs, st: LayerStatic):
+    w = dict(zip(("x", "lens_vec") + WEIGHT_FIELDS, refs[: -3]))
     o_ref = refs[-3]
     attn_scratch = refs[-2]
     pad_scratch = refs[-1]
     T, D, H, dh, I, bb = st.T, st.D, st.H, st.dh, st.I, st.bb
     eps = st.eps
     N = bb * T
+    ab = set(st.ablate.split(",")) if st.ablate else set()
+    act = (
+        (lambda z: z) if "no_gelu" in ab else ACT_F32[st.hidden_act]
+    )
 
     x = w["x"][...].reshape(N, D)  # (bb*T, D) bf16
 
     # ---- macaron FF1: x += 0.5 * FF(LN(x))
-    h = _ln(x, w["ff1_ln_g"], w["ff1_ln_b"], eps)
-    h = _mm(h, w["ff1_wi"], w["ff1_bi"])
-    h = ACT_F32[st.hidden_act](h.astype(jnp.float32)).astype(jnp.bfloat16)
-    h = _mm(h, w["ff1_wo"], w["ff1_bo"])
-    x = (x.astype(jnp.float32) + 0.5 * h.astype(jnp.float32)).astype(jnp.bfloat16)
+    if "no_ff" not in ab:
+        h = _ln(x, w["ff1_ln_g"], w["ff1_ln_b"], eps)
+        h = _mm(h, w["ff1_wi"], w["ff1_bi"])
+        h = act(h.astype(jnp.float32)).astype(jnp.bfloat16)
+        h = _mm(h, w["ff1_wo"], w["ff1_bo"])
+        x = (x.astype(jnp.float32) + 0.5 * h.astype(jnp.float32)).astype(jnp.bfloat16)
 
     residual = x
 
@@ -171,9 +197,12 @@ def _layer_kernel(len_ref, *refs, st: LayerStatic):
     k_std = w["k_std"][...]                          # (T, D) bf16
 
     inv = np.float32(1.0 / np.sqrt(dh))
-    base = pl.program_id(0) * bb
 
-    for hd in range(H):
+    # key-column mask from per-batch lengths (VMEM (bb, 1) block)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bb, T, T), 2)
+    kmask = col < w["lens_vec"][...][:, :, None]       # (bb, T, T)
+
+    for hd in range(H) if "no_attn" not in ab else ():
         qe = jnp.dot(
             g, w["cpos_e"][hd], preferred_element_type=jnp.float32
         ) + w["qb_e"][hd, :].astype(jnp.float32)      # (N, D/2)
@@ -183,66 +212,70 @@ def _layer_kernel(len_ref, *refs, st: LayerStatic):
         q_rot = jnp.concatenate(
             [cos_n * qe + sin_n * qo, cos_n * qo - sin_n * qe], axis=-1
         ).astype(jnp.bfloat16)                        # (N, D)
-        for b in range(bb):
-            rows = slice(b * T, (b + 1) * T)
-            lanes = slice(hd * dh, (hd + 1) * dh)
-            ac = jax.lax.dot_general(
-                q_u[rows, lanes], k[rows, lanes],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # (T, T)
-            bd = jax.lax.dot_general(
-                q_rot[rows, :], k_std,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # (T, T)
-            scores = (ac + bd) * inv
-            length = len_ref[base + b]
-            col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-            scores = jnp.where(col < length, scores, NEG_INF)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
-            attn_scratch[rows, lanes] = jnp.dot(
-                probs, v[rows, lanes], preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)
+        lanes = slice(hd * dh, (hd + 1) * dh)
+        # bd for all rows in ONE matmul; ac/pv batched over bb
+        bd = jax.lax.dot_general(
+            q_rot, k_std, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bb, T, T)
+        qh = q_u[:, lanes].reshape(bb, T, dh)
+        kh = k[:, lanes].reshape(bb, T, dh)
+        vh = v[:, lanes].reshape(bb, T, dh)
+        ac = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                              # (bb, T, T)
+        scores = jnp.where(kmask, (ac + bd) * inv, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        out_h = jax.lax.dot_general(
+            probs, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                              # (bb, T, dh)
+        attn_scratch[:, lanes] = out_h.astype(jnp.bfloat16).reshape(N, dh)
 
     g_out = _mm(attn_scratch[...], w["wo"], w["bo"])  # (N, D)
 
     # ---- cgMLP branch
     l = _ln(x, w["cg_ln_g"], w["cg_ln_b"], eps)
     l = _mm(l, w["cg_w1"], w["cg_b1"])                # (N, I)
-    l = ACT_F32["gelu"](l.astype(jnp.float32)).astype(jnp.bfloat16)
+    l = act(l.astype(jnp.float32)).astype(jnp.bfloat16)
     C = I // 2
     x_r = l[:, :C]
     x_g = _ln(l[:, C:], w["csgu_ln_g"], w["csgu_ln_b"], eps)
 
-    acc = _dwconv(
-        x_g.reshape(bb, T, C), w["csgu_dw"], w["csgu_dw_b"], pad_scratch,
-        st.k_csgu, C,
-    )
-    gate = ACT_F32[st.csgu_act](acc).astype(jnp.bfloat16).reshape(N, C)
-    gated = x_r * gate
+    if "no_dwconv" in ab:
+        gated = x_r * x_g
+    else:
+        acc = _dwconv(
+            x_g.reshape(bb, T, C), w["csgu_dw"], w["csgu_dw_b"], pad_scratch,
+            st.k_csgu, C,
+        )
+        gate = ACT_F32[st.csgu_act](acc).astype(jnp.bfloat16).reshape(N, C)
+        gated = x_r * gate
     l = _mm(gated, w["cg_w2"], w["cg_b2"])            # (N, D)
 
     # ---- merge: concat + depthwise fusion + projection, residual
     merged = jnp.concatenate([g_out, l], axis=-1)     # (N, 2D)
-    fused = _dwconv(
-        merged.reshape(bb, T, 2 * D), w["merge_dw"], w["merge_dw_b"],
-        pad_scratch, st.k_merge, 2 * D,
-    ).astype(jnp.bfloat16).reshape(N, 2 * D)
-    merged = merged + fused
+    if "no_dwconv" not in ab:
+        fused = _dwconv(
+            merged.reshape(bb, T, 2 * D), w["merge_dw"], w["merge_dw_b"],
+            pad_scratch, st.k_merge, 2 * D,
+        ).astype(jnp.bfloat16).reshape(N, 2 * D)
+        merged = merged + fused
     x = (
         residual.astype(jnp.float32)
         + _mm(merged, w["merge_w"], w["merge_b"]).astype(jnp.float32)
     ).astype(jnp.bfloat16)
 
     # ---- macaron FF2
-    h = _ln(x, w["ff2_ln_g"], w["ff2_ln_b"], eps)
-    h = _mm(h, w["ff2_wi"], w["ff2_bi"])
-    h = ACT_F32[st.hidden_act](h.astype(jnp.float32)).astype(jnp.bfloat16)
-    h = _mm(h, w["ff2_wo"], w["ff2_bo"])
-    x = (x.astype(jnp.float32) + 0.5 * h.astype(jnp.float32)).astype(jnp.bfloat16)
+    if "no_ff" not in ab:
+        h = _ln(x, w["ff2_ln_g"], w["ff2_ln_b"], eps)
+        h = _mm(h, w["ff2_wi"], w["ff2_bi"])
+        h = act(h.astype(jnp.float32)).astype(jnp.bfloat16)
+        h = _mm(h, w["ff2_wo"], w["ff2_bo"])
+        x = (x.astype(jnp.float32) + 0.5 * h.astype(jnp.float32)).astype(jnp.bfloat16)
 
     # ---- final LN
     o_ref[...] = _ln(x, w["final_ln_g"], w["final_ln_b"], eps).reshape(bb, T, D)
@@ -357,6 +390,7 @@ def ebranchformer_layer(
     *,
     bb: int = 4,
     interpret: bool = False,
+    ablate: str = "",
 ) -> jnp.ndarray:
     """Run one fused E-Branchformer layer. T must be a multiple of 8 and B a
     multiple of bb."""
@@ -365,11 +399,13 @@ def ebranchformer_layer(
         raise ValueError(f"B={B} must be a multiple of bb={bb}")
     if T % 8:
         raise ValueError(f"T={T} must be a multiple of 8")
+    if max(cfg.csgu_kernel_size, cfg.merge_conv_kernel) > 2 * PAD_ALLOC + 1:
+        raise ValueError("conv kernel exceeds pad allocation")
     st = LayerStatic(
         T=T, D=D, H=cfg.num_attention_heads, I=cfg.intermediate_size,
         k_csgu=cfg.csgu_kernel_size, k_merge=cfg.merge_conv_kernel,
         eps=cfg.layer_norm_eps, hidden_act=cfg.hidden_act,
-        csgu_act=cfg.csgu_activation, bb=bb,
+        csgu_act=cfg.csgu_activation, bb=bb, ablate=ablate,
     )
     if cfg.csgu_use_linear_after_conv:
         raise NotImplementedError("csgu_use_linear_after_conv: use XLA path")
@@ -377,33 +413,38 @@ def ebranchformer_layer(
     w_list = [weights[f] for f in WEIGHT_FIELDS]
 
     def const_map(ndim):
-        return lambda i, *_: (0,) * ndim
+        return lambda i: (0,) * ndim
 
     in_specs = [
-        pl.BlockSpec((bb, T, D), lambda i, *_: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(wa.shape, const_map(wa.ndim), memory_space=pltpu.VMEM)
         for wa in w_list
     ]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    return pl.pallas_call(
+        partial(_layer_kernel, st=st),
         grid=(B // bb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (bb, T, D), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (bb, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((bb * T, D), jnp.bfloat16),  # attention head assembly
             pltpu.VMEM(                             # shared dwconv pad buffer
                 (bb, T + 2 * PAD_ALLOC, max(st.I // 2, 2 * D)), jnp.bfloat16
             ),
         ],
-    )
-    return pl.pallas_call(
-        partial(_layer_kernel, st=st),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            # The whole layer's live intermediates exceed the conservative
+            # 16 MB default scoped-vmem limit; v5e has far more physical VMEM.
+            vmem_limit_bytes=(64 if bb <= 8 else 116) * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), x.astype(jnp.bfloat16), *w_list)
+    )(
+        x.astype(jnp.bfloat16),
+        lengths.astype(jnp.int32).reshape(-1, 1),
+        *w_list,
+    )

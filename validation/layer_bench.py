@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--bb", type=int, default=4)
+    ap.add_argument("--ablate", default="")
+    ap.add_argument("--fe-precision", default="highest")
+    ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--parity-batch", type=int, default=8)
     args = ap.parse_args()
@@ -46,7 +49,7 @@ def main():
         conv_stride=(2, 2), conv_padding=(1, 1), vocab_size=500,
     )
     model = EBranchformerForCTC(config, dtype=jnp.bfloat16)
-    frontend = LogMelFrontEnd(LogMelConfig())
+    frontend = LogMelFrontEnd(LogMelConfig(matmul_precision=args.fe_precision))
 
     B, sec = args.batch, args.seconds
     S = int(16000 * sec)
@@ -70,31 +73,35 @@ def main():
     @jax.jit
     def fused_pipe(params, wav):
         feats, flens = frontend(wav, wl)
-        out = ctc_infer_fused(params, config, feats, flens, bb=args.bb)
+        out = ctc_infer_fused(params, config, feats, flens, bb=args.bb,
+                              ablate=args.ablate)
         toks, n = ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
         return jnp.sum(n) + jnp.sum(toks[:, 0])
 
     # ---- parity on a small batch (logits over valid frames)
-    pb = args.parity_batch
-    feats_p, flens_p = frontend(waves[0][:pb], wl[:pb])
-    ref = model.apply({"params": params}, feats_p, flens_p, deterministic=True)
-    got = ctc_infer_fused(params, config, feats_p, flens_p, bb=min(args.bb, pb))
-    r = np.asarray(ref.logits, np.float32)
-    g = np.asarray(got.logits, np.float32)
-    valid = np.arange(r.shape[1])[None, :] < np.asarray(ref.logit_lengths)[:, None]
-    diff = np.abs(g - r)[valid]
-    ref_toks, ref_n = ctc_greedy_decode(ref.logits, ref.logit_lengths, blank_id=-1)
-    got_toks, got_n = ctc_greedy_decode(got.logits, got.logit_lengths, blank_id=-1)
-    same = bool(
-        np.array_equal(np.asarray(ref_n), np.asarray(got_n))
-        and np.array_equal(np.asarray(ref_toks), np.asarray(got_toks))
-    )
-    print(json.dumps({
-        "check": "parity",
-        "max_abs_diff": float(diff.max()),
-        "logit_scale": float(np.abs(r[valid]).max()),
-        "greedy_tokens_identical": same,
-    }), flush=True)
+    pb = 0 if args.skip_parity else args.parity_batch
+    if pb:
+        feats_p, flens_p = frontend(waves[0][:pb], wl[:pb])
+        ref = model.apply({"params": params}, feats_p, flens_p, deterministic=True)
+        got = ctc_infer_fused(params, config, feats_p, flens_p, bb=min(args.bb, pb))
+        r = np.asarray(ref.logits, np.float32)
+        g = np.asarray(got.logits, np.float32)
+        valid = (
+            np.arange(r.shape[1])[None, :] < np.asarray(ref.logit_lengths)[:, None]
+        )
+        diff = np.abs(g - r)[valid]
+        ref_toks, ref_n = ctc_greedy_decode(ref.logits, ref.logit_lengths, blank_id=-1)
+        got_toks, got_n = ctc_greedy_decode(got.logits, got.logit_lengths, blank_id=-1)
+        same = bool(
+            np.array_equal(np.asarray(ref_n), np.asarray(got_n))
+            and np.array_equal(np.asarray(ref_toks), np.asarray(got_toks))
+        )
+        print(json.dumps({
+            "check": "parity",
+            "max_abs_diff": float(diff.max()),
+            "logit_scale": float(np.abs(r[valid]).max()),
+            "greedy_tokens_identical": same,
+        }), flush=True)
 
     def timed(fn):
         fn(params, waves[0]).block_until_ready()

@@ -166,6 +166,46 @@ def reference_decode(work: str, ds_dir: str, tok_dir: str, ckpt: str):
     return hyps, dec_sec, audio_sec
 
 
+def fused_decode(ds_dir: str, tok_dir: str, ckpt: str):
+    """Decode the test split with the FUSED Pallas encoder path
+    (models/fast_infer.py) — validates the serving kernel end to end on a
+    trained checkpoint. TPU only (Mosaic kernels). Returns transcripts."""
+    import datasets
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from huggingface_asr_tpu.models.configs import EBranchformerConfig
+    from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused
+    from huggingface_asr_tpu.ops.ctc import ctc_greedy_decode
+    from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
+    from huggingface_asr_tpu.training.model_factory import load_config, load_params
+
+    final = os.path.join(ckpt, "final")
+    config = load_config(final, EBranchformerConfig)
+    params = load_params(final)
+    tok = AutoTokenizer.from_pretrained(tok_dir)
+    frontend = LogMelFrontEnd(LogMelConfig())
+
+    dd = datasets.load_from_disk(ds_dir)["test"]
+    wavs = [np.asarray(ex["audio"], np.float32) for ex in dd]
+    S = max(len(w) for w in wavs)
+    batchw = np.zeros((len(wavs), S), np.float32)
+    for i, wv in enumerate(wavs):
+        batchw[i, : len(wv)] = wv
+    lens = jnp.asarray([len(w) for w in wavs], jnp.int32)
+
+    feats, flens = frontend(jnp.asarray(batchw), lens)
+    bb = 4 if len(wavs) % 4 == 0 else 1
+    out = ctc_infer_fused(params, config, feats, flens, bb=bb)
+    toks, ntoks = ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+    toks, ntoks = np.asarray(toks), np.asarray(ntoks)
+    return [
+        tok.decode([int(t) for t in toks[i, : ntoks[i]]], skip_special_tokens=True)
+        for i in range(len(wavs))
+    ]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--work_dir", default="/tmp/wer_val")
@@ -223,6 +263,17 @@ def main(argv=None):
         "reference_torch_cpu_decode_rtfx": round(audio_sec / ref_dec_sec, 1),
         "train_metrics": ours,
     }
+
+    import jax
+
+    if jax.default_backend() == "tpu":
+        fused_hyps = fused_decode(ds_dir, tok_dir, ckpt)
+        fused_wer = wer_fn(refs, fused_hyps)
+        n_fused = sum(
+            a.strip() == b.strip() for a, b in zip(fused_hyps, ref_hyps)
+        )
+        report["fused_kernel_wer"] = round(float(fused_wer), 4)
+        report["fused_kernel_identical_vs_reference"] = f"{n_fused}/{len(refs)}"
     with open(os.path.join(args.work_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
