@@ -1,0 +1,205 @@
+"""Fused waveform → log-mel Pallas TPU kernel.
+
+The XLA front end (ops/features.py) materializes the (B, T, 400) frame
+tensor in HBM (~205 MB at B=128×10 s) and runs the fp32 DFT at HIGHEST
+precision — ~11.5 ms of the serving batch. This kernel streams the waveform
+HBM→VMEM in overlapping frame blocks and computes everything in one pass:
+
+  * Frame construction WITHOUT a gather: the 128-frame block's samples are
+    viewed as (130, 160) hop-rows; frame r = rows r, r+1, r+2 concatenated
+    and truncated to 400 — three static sublane slices + a lane concat.
+  * DC removal and pre-emphasis are LINEAR per-frame operators, so they are
+    folded into the windowed DFT bases offline:
+        bases' = (I - 11^T/400) @ P @ diag(w) @ [C | S]
+    (P = bidiagonal pre-emphasis). The kernel then does exactly two fp32
+    matmuls (cos/sin), square-add, one (257→80) mel matmul, and log.
+  * CMVN stays in XLA (one cheap pass; it needs full-utterance statistics).
+
+Grid: (B, ceil(T/128)); the waveform stays in HBM (ANY) and each program
+DMAs its 20,720-sample window into VMEM scratch.
+
+Reference behavior: HF Speech2TextFeatureExtractor as wrapped by the
+reference's CustomFeatureExtractor (src/utilities/feature_extractors.py:14-61);
+numerics identical to ops/features.py by construction (linear-operator fold).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from huggingface_asr_tpu.ops.features import (
+    LogMelConfig,
+    _dft_bases,
+    kaldi_mel_filter_bank,
+    povey_window,
+)
+
+FRAMES_PER_BLOCK = 128
+
+
+def folded_bases(cfg: LogMelConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cos', sin', mel) with window, DC-removal and pre-emphasis folded in."""
+    L = cfg.frame_length
+    cos_b, sin_b = _dft_bases(cfg)
+    w = povey_window(L)
+    wc = w[:, None] * cos_b
+    ws = w[:, None] * sin_b
+    # pre-emphasis: pre[0] = (1-p)*x[0]; pre[n] = x[n] - p*x[n-1]
+    p = cfg.preemphasis
+    P = np.eye(L)
+    if p:
+        P[0, 0] = 1.0 - p
+        for n in range(1, L):
+            P[n, n - 1] = -p
+    # DC removal BEFORE pre-emphasis (matches ops/features.py order)
+    D = np.eye(L) - np.full((L, L), 1.0 / L) if cfg.remove_dc_offset else np.eye(L)
+    M = (P @ D) if cfg.remove_dc_offset or p else np.eye(L)
+    mel = kaldi_mel_filter_bank(
+        num_frequency_bins=cfg.num_frequency_bins,
+        num_mel_filters=cfg.num_mel_bins,
+        min_frequency=cfg.min_frequency,
+        max_frequency=cfg.sampling_rate / 2,
+        sampling_rate=cfg.sampling_rate,
+    )
+    return (
+        (M.T @ wc).astype(np.float32),
+        (M.T @ ws).astype(np.float32),
+        mel.astype(np.float32),
+    )
+
+
+def _mel_kernel(wav_hbm, cos_ref, sin_ref, mel_ref, o_ref, wscratch, sem,
+                *, hop, frame_len, block_samples, rows, scale, floor):
+    b = pl.program_id(0)
+    fb = pl.program_id(1)
+    F = FRAMES_PER_BLOCK
+
+    dma = pltpu.make_async_copy(
+        wav_hbm.at[b, pl.ds(fb * F * hop, block_samples)],
+        wscratch.at[pl.ds(0, block_samples)],
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    v = wscratch[...].reshape(rows, hop) * scale          # (rows, hop)
+    frames = jnp.concatenate(
+        [v[0:F], v[1 : F + 1], v[2 : F + 2]], axis=1
+    )[:, :frame_len]                                       # (F, frame_len)
+
+    hi = jax.lax.Precision.HIGHEST
+    re = jax.lax.dot_general(
+        frames, cos_ref[...], (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32,
+    )
+    im = jax.lax.dot_general(
+        frames, sin_ref[...], (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32,
+    )
+    power = re * re + im * im
+    mel = jax.lax.dot_general(
+        power, mel_ref[...], (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = jnp.log(jnp.maximum(mel, floor))
+
+
+class PallasLogMelFrontEnd:
+    """Drop-in replacement for LogMelFrontEnd (non-global-CMVN configs).
+
+    Computes identical features to ops/features.py (the DC/pre-emphasis fold
+    is exact in exact arithmetic; fp differences are ~1e-5 relative).
+    """
+
+    def __init__(self, config: LogMelConfig = LogMelConfig(), interpret: bool = False):
+        if config.norm_type == "global":
+            raise NotImplementedError("use LogMelFrontEnd for global CMVN")
+        self.config = config
+        self.interpret = interpret
+        cosb, sinb, mel = folded_bases(config)
+        self._cos = jnp.asarray(cosb)
+        self._sin = jnp.asarray(sinb)
+        self._mel = jnp.asarray(mel)
+
+    def output_length(self, num_samples):
+        return self.config.num_frames(num_samples)
+
+    def __call__(
+        self, waveforms: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        if waveforms.ndim == 1:
+            waveforms = waveforms[None]
+        B, S = waveforms.shape
+        if lengths is None:
+            lengths = jnp.full((B,), S, dtype=jnp.int32)
+
+        F = FRAMES_PER_BLOCK
+        hop, L = cfg.hop_length, cfg.frame_length
+        num_frames = int(cfg.num_frames(S))
+        FB = -(-num_frames // F)
+        block_samples = (F - 1) * hop + L                  # 20,720 @ defaults
+        rows = -(-block_samples // hop) + 1                # +1 spare row
+        S_pad = (FB * F - 1) * hop + L
+        if S_pad > S:
+            waveforms = jnp.pad(waveforms, ((0, 0), (0, S_pad - S)))
+
+        out = pl.pallas_call(
+            partial(
+                _mel_kernel, hop=hop, frame_len=L,
+                block_samples=block_samples, rows=rows,
+                scale=np.float32(cfg.waveform_scale),
+                floor=np.float32(cfg.mel_floor),
+            ),
+            grid=(B, FB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),      # waveform in HBM
+                pl.BlockSpec(self._cos.shape, lambda b, f: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(self._sin.shape, lambda b, f: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(self._mel.shape, lambda b, f: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, F, cfg.num_mel_bins), lambda b, f: (b, f, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, FB * F, cfg.num_mel_bins), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows * hop,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=self.interpret,
+        )(waveforms.astype(jnp.float32), self._cos, self._sin, self._mel)
+
+        log_mel = out[:, :num_frames]
+        feat_lengths = cfg.num_frames(lengths).astype(jnp.int32)
+        feat_lengths = jnp.clip(feat_lengths, 0, num_frames)
+        mask = (
+            jnp.arange(num_frames, dtype=jnp.int32)[None, :]
+            < feat_lengths[:, None]
+        )
+        # masked utterance CMVN (identical to LogMelFrontEnd._normalize)
+        if cfg.norm_type == "utterance":
+            m = mask[..., None].astype(jnp.float32)
+            count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            if cfg.normalize_means:
+                mean = jnp.sum(log_mel * m, axis=1, keepdims=True) / count
+                log_mel = log_mel - mean
+            if cfg.normalize_vars:
+                var = jnp.sum(jnp.square(log_mel) * m, axis=1, keepdims=True) / count
+                if not cfg.normalize_means:
+                    mean = jnp.sum(log_mel * m, axis=1, keepdims=True) / count
+                    var = var - jnp.square(mean)
+                log_mel = log_mel / jnp.sqrt(var)
+        return jnp.where(mask[..., None], log_mel, 0.0), feat_lengths

@@ -32,6 +32,7 @@ class ASRPipeline:
         dtype: str = "bfloat16",
         length_buckets: Sequence[float] = (2.0, 5.0, 10.0, 20.0, 30.0),
         sampling_rate: int = 16000,
+        fused_encoder: Union[bool, str] = "auto",
     ):
         import jax
         import jax.numpy as jnp
@@ -62,11 +63,39 @@ class ASRPipeline:
             model = EBranchformerForCTC(config, dtype=dt)
             frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.num_fbanks))
 
-            @jax.jit
-            def run(params, wav, wav_lens):
-                feats, lens = frontend(wav, wav_lens)
-                out = model.apply({"params": params}, feats, lens, deterministic=True)
-                return ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+            # Fused Pallas encoder (ops/pallas_layer.py): serving-grade speed
+            # on TPU; "auto" uses it when the model/backend qualify.
+            use_fused = fused_encoder
+            if use_fused == "auto":
+                use_fused = (
+                    jax.default_backend() == "tpu"
+                    and config.position_embeddings_type == "relative"
+                    and not config.is_causal
+                    and not config.finetune_with_layer_mixing
+                    and not config.finetune_with_additional_layer
+                    and not config.csgu_use_linear_after_conv
+                )
+            if use_fused:
+                from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused
+
+                @jax.jit
+                def run(params, wav, wav_lens):
+                    feats, lens = frontend(wav, wav_lens)
+                    out = ctc_infer_fused(params, config, feats, lens, bb=1)
+                    return ctc_greedy_decode(
+                        out.logits, out.logit_lengths, blank_id=-1
+                    )
+            else:
+
+                @jax.jit
+                def run(params, wav, wav_lens):
+                    feats, lens = frontend(wav, wav_lens)
+                    out = model.apply(
+                        {"params": params}, feats, lens, deterministic=True
+                    )
+                    return ctc_greedy_decode(
+                        out.logits, out.logit_lengths, blank_id=-1
+                    )
 
             self._run = run
         else:

@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--bb", type=int, default=4)
     ap.add_argument("--ablate", default="")
     ap.add_argument("--fe-precision", default="highest")
+    ap.add_argument("--frontend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--parity-batch", type=int, default=8)
@@ -49,7 +50,13 @@ def main():
         conv_stride=(2, 2), conv_padding=(1, 1), vocab_size=500,
     )
     model = EBranchformerForCTC(config, dtype=jnp.bfloat16)
-    frontend = LogMelFrontEnd(LogMelConfig(matmul_precision=args.fe_precision))
+    fe_cfg = LogMelConfig(matmul_precision=args.fe_precision)
+    if args.frontend == "pallas":
+        from huggingface_asr_tpu.ops.pallas_features import PallasLogMelFrontEnd
+
+        frontend = PallasLogMelFrontEnd(fe_cfg)
+    else:
+        frontend = LogMelFrontEnd(fe_cfg)
 
     B, sec = args.batch, args.seconds
     S = int(16000 * sec)

@@ -44,11 +44,33 @@ LAUNCH_S = 4.5e-6         # CUDA kernel launch floor, eager mode
 BYTES_PER_EL = 2          # bf16 activations (favorable to baseline)
 
 
+def _measure_cpu_bw() -> float:
+    """Single-thread numpy triad bandwidth (bytes/s, read+write counted)."""
+    import time as _t
+
+    n = 50_000_000
+    a = np.zeros(n, np.float32)
+    b = np.ones(n, np.float32)
+    c = np.full(n, 2.0, np.float32)
+    np.add(b, c, out=a)  # warm
+    t0 = _t.perf_counter()
+    for _ in range(3):
+        np.add(b, c, out=a)
+    dt = (_t.perf_counter() - t0) / 3
+    return 3 * n * 4 / dt  # 2 reads + 1 write
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--write", action="store_true")
+    ap.add_argument(
+        "--calibrate-cpu", action="store_true",
+        help="apply the same per-op model with THIS host's single-core "
+        "constants and compare against the measured torch CPU RTFx — "
+        "quantifies how generous the methodology is to the baseline",
+    )
     args = ap.parse_args()
 
     import torch
@@ -156,6 +178,17 @@ def main():
         out_el = max((int(np.prod(x)) for x in s), default=0)
         return 0.0, (elems + out_el) * BYTES_PER_EL * passes
 
+    if args.calibrate_cpu:
+        global A100_TF, MATMUL_EFF, HBM_BPS, LAUNCH_S, BYTES_PER_EL
+        base = json.load(
+            open(os.path.join(REPO, "validation", "baseline_measurement.json"))
+        )
+        A100_TF = base["cpu_gemm_flops"]  # measured 1-core GEMM budget
+        MATMUL_EFF = 1.0
+        HBM_BPS = _measure_cpu_bw()
+        LAUNCH_S = 1.0e-6                  # eager CPU dispatch floor
+        BYTES_PER_EL = 4                   # torch CPU runs fp32
+
     taken_ids = set()
 
     def ancestor_taken(ev):
@@ -194,8 +227,9 @@ def main():
 
     audio_s = B * args.seconds
     rtfx = audio_s / total_s
+    key = "cpu_rtfx_roofline" if args.calibrate_cpu else "a100_rtfx_roofline"
     report = {
-        "a100_rtfx_roofline": round(rtfx, 1),
+        key: round(rtfx, 1),
         "modeled_batch_s": round(total_s, 5),
         "ops": n_ops,
         "flop_bound_s": round(flop_s, 5),
@@ -214,10 +248,18 @@ def main():
         path = os.path.join(REPO, "validation", "baseline_measurement.json")
         with open(path) as f:
             base = json.load(f)
-        base["a100_rtfx_roofline"] = report["a100_rtfx_roofline"]
-        base["a100_roofline_detail"] = {
-            k: v for k, v in report.items() if k != "a100_rtfx_roofline"
-        }
+        if args.calibrate_cpu:
+            base["cpu_roofline_calibration"] = {
+                **report,
+                "measured_cpu_rtfx": base.get(
+                    "reference_torch_cpu_rtfx_1core"
+                ),
+            }
+        else:
+            base["a100_rtfx_roofline"] = report["a100_rtfx_roofline"]
+            base["a100_roofline_detail"] = {
+                k: v for k, v in report.items() if k != "a100_rtfx_roofline"
+            }
         with open(path, "w") as f:
             json.dump(base, f, indent=2)
         print(f"wrote {path}")
