@@ -63,6 +63,18 @@ def test_fused_layer_matches_flax():
     assert diff.max() <= 0.05 * max(scale, 1.0), (diff.max(), scale)
 
 
+def test_fused_layer_bb1_serving_shape():
+    """bb=1 (the serving pipeline's block size) must agree with bb=2."""
+    model, params, x, lens = _setup(B=2, T_in=64)
+    a = ctc_infer_fused(params, CFG, x, lens, bb=1, interpret=True)
+    b = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(a.logits, np.float32),
+        np.asarray(b.logits, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_fused_layer_rejects_unsupported():
     import dataclasses
 
