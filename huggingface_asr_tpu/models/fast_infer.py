@@ -11,8 +11,8 @@ Weight folding (``fold_layer_weights``) happens at trace time, so under jit
 the folded tensors are computed once and live on device.
 
 Restrictions (use the standard path otherwise): relative positions,
-non-causal, no layer mixing / additional layer, csgu_use_linear_after_conv
-off, T padded to a multiple of 8 internally.
+non-causal, no layer mixing / additional layer; T is padded to a multiple
+of 8 internally.
 """
 
 from __future__ import annotations

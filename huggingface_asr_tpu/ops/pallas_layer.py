@@ -86,6 +86,7 @@ WEIGHT_FIELDS = (
     # cgMLP
     "cg_ln_g", "cg_ln_b", "cg_w1", "cg_b1",
     "csgu_ln_g", "csgu_ln_b", "csgu_dw", "csgu_dw_b",
+    "csgu_lin_w", "csgu_lin_b",   # optional linear-after-conv ((1,1) dummies when off)
     "cg_w2", "cg_b2",
     # merge
     "merge_dw", "merge_dw_b", "merge_w", "merge_b",
@@ -108,6 +109,7 @@ class LayerStatic:
     eps: float
     hidden_act: str
     csgu_act: str
+    has_csgu_linear: bool = False
     bb: int = 4       # batches per program
     # Benchmark-only ablation: comma-joined subset of
     # {"no_attn", "no_dwconv", "no_gelu", "no_ff"} — skips that piece to
@@ -252,7 +254,12 @@ def _layer_kernel(*refs, st: LayerStatic):
             x_g.reshape(bb, T, C), w["csgu_dw"], w["csgu_dw_b"], pad_scratch,
             st.k_csgu, C,
         )
-        gate = ACT_F32[st.csgu_act](acc).astype(jnp.bfloat16).reshape(N, C)
+        if st.has_csgu_linear:
+            t = _mm(acc.astype(jnp.bfloat16).reshape(N, C),
+                    w["csgu_lin_w"], w["csgu_lin_b"])
+            gate = ACT_F32[st.csgu_act](t.astype(jnp.float32)).astype(jnp.bfloat16)
+        else:
+            gate = ACT_F32[st.csgu_act](acc).astype(jnp.bfloat16).reshape(N, C)
         gated = x_r * gate
     l = _mm(gated, w["cg_w2"], w["cg_b2"])            # (N, D)
 
@@ -366,6 +373,14 @@ def fold_layer_weights(
         rot_cos=rot_cos, rot_sin=rot_sin, k_std=k_std,
         cg_ln_g=cgg, cg_ln_b=cgb, cg_w1=cg_w1, cg_b1=cg_b1,
         csgu_ln_g=csgug, csgu_ln_b=csgub,
+        csgu_lin_w=(
+            jnp.asarray(lp["cgMLP"]["csgu"]["linear"]["kernel"], bf)
+            if "linear" in lp["cgMLP"]["csgu"] else jnp.zeros((1, 1), bf)
+        ),
+        csgu_lin_b=(
+            jnp.asarray(lp["cgMLP"]["csgu"]["linear"]["bias"], bf).reshape(1, -1)
+            if "linear" in lp["cgMLP"]["csgu"] else jnp.zeros((1, 1), bf)
+        ),
         csgu_dw=csgu_dw,
         csgu_dw_b=jnp.asarray(
             lp["cgMLP"]["csgu"]["conv"]["bias"], jnp.float32
@@ -406,9 +421,8 @@ def ebranchformer_layer(
         k_csgu=cfg.csgu_kernel_size, k_merge=cfg.merge_conv_kernel,
         eps=cfg.layer_norm_eps, hidden_act=cfg.hidden_act,
         csgu_act=cfg.csgu_activation, bb=bb, ablate=ablate,
+        has_csgu_linear=cfg.csgu_use_linear_after_conv,
     )
-    if cfg.csgu_use_linear_after_conv:
-        raise NotImplementedError("csgu_use_linear_after_conv: use XLA path")
 
     w_list = [weights[f] for f in WEIGHT_FIELDS]
 

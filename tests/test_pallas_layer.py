@@ -75,6 +75,25 @@ def test_fused_layer_bb1_serving_shape():
     )
 
 
+def test_fused_layer_csgu_linear():
+    """csgu_use_linear_after_conv variant matches the Flax path."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, csgu_use_linear_after_conv=True,
+                              csgu_activation="identity")
+    model = EBranchformerForCTC(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 80)), jnp.float32)
+    lens = jnp.asarray([64, 40], jnp.int32)
+    params = model.init(jax.random.key(0), x, lens)["params"]
+    ref = model.apply({"params": params}, x, lens, deterministic=True)
+    got = ctc_infer_fused(params, cfg, x, lens, bb=2, interpret=True)
+    r = np.asarray(ref.logits, np.float32)
+    g = np.asarray(got.logits, np.float32)
+    valid = np.arange(r.shape[1])[None, :] < np.asarray(got.logit_lengths)[:, None]
+    assert np.abs(g - r)[valid].max() <= 0.05 * max(np.abs(r[valid]).max(), 1.0)
+
+
 def test_fused_layer_rejects_unsupported():
     import dataclasses
 
