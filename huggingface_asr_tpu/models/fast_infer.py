@@ -74,11 +74,23 @@ def ctc_infer_fused(
     mask = lengths_to_mask(out_lengths, T_pad)
     x = jnp.where(mask[..., None], hidden, 0.0).astype(dtype)
 
-    for i in range(cfg.num_hidden_layers):
-        w = fold_layer_weights(enc_p["encoder"][f"layers_{i}"], cfg, T_pad)
-        x = ebranchformer_layer(
-            x, out_lengths, w, cfg, bb=bb, interpret=interpret, ablate=ablate
+    # Stack per-layer folded weights and lax.scan over layers: the traced
+    # program then contains exactly ONE pallas_call, so Mosaic compiles the
+    # layer kernel once instead of num_hidden_layers times.
+    folded = [
+        fold_layer_weights(enc_p["encoder"][f"layers_{i}"], cfg, T_pad)
+        for i in range(cfg.num_hidden_layers)
+    ]
+    stacked = {k: jnp.stack([w[k] for w in folded]) for k in folded[0]}
+
+    def body(h, layer_w):
+        h = ebranchformer_layer(
+            h, out_lengths, layer_w, cfg, bb=bb, interpret=interpret,
+            ablate=ablate,
         )
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, stacked)
 
     # final encoder LayerNorm (params["wav2vec2"]["encoder"]["layer_norm"])
     ln = enc_p["encoder"]["layer_norm"]

@@ -81,15 +81,17 @@ def _mel_kernel(wav_hbm, cos_ref, sin_ref, mel_ref, o_ref, wscratch, sem,
     fb = pl.program_id(1)
     F = FRAMES_PER_BLOCK
 
+    # waveform arrives pre-shaped (B, n_rows, hop): DMA `rows` hop-rows
+    # directly into the 2-D scratch (Mosaic cannot reshape 1D->2D vectors).
     dma = pltpu.make_async_copy(
-        wav_hbm.at[b, pl.ds(fb * F * hop, block_samples)],
-        wscratch.at[pl.ds(0, block_samples)],
+        wav_hbm.at[b, pl.ds(fb * F, rows), :],
+        wscratch,
         sem,
     )
     dma.start()
     dma.wait()
 
-    v = wscratch[...].reshape(rows, hop) * scale          # (rows, hop)
+    v = wscratch[...] * scale                             # (rows, hop)
     frames = jnp.concatenate(
         [v[0:F], v[1 : F + 1], v[2 : F + 2]], axis=1
     )[:, :frame_len]                                       # (F, frame_len)
@@ -147,9 +149,15 @@ class PallasLogMelFrontEnd:
         FB = -(-num_frames // F)
         block_samples = (F - 1) * hop + L                  # 20,720 @ defaults
         rows = -(-block_samples // hop) + 1                # +1 spare row
-        S_pad = (FB * F - 1) * hop + L
+        # pad so every block's `rows` hop-rows exist: last block starts at
+        # hop-row (FB-1)*F and reads `rows` rows.
+        n_rows = (FB - 1) * F + rows
+        S_pad = n_rows * hop
         if S_pad > S:
             waveforms = jnp.pad(waveforms, ((0, 0), (0, S_pad - S)))
+        elif S_pad < S:
+            waveforms = waveforms[:, :S_pad]
+        waveforms = waveforms.reshape(B, n_rows, hop)
 
         out = pl.pallas_call(
             partial(
@@ -176,7 +184,7 @@ class PallasLogMelFrontEnd:
                 (B, FB * F, cfg.num_mel_bins), jnp.float32
             ),
             scratch_shapes=[
-                pltpu.VMEM((rows * hop,), jnp.float32),
+                pltpu.VMEM((rows, hop), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=self.interpret,
