@@ -5,9 +5,10 @@ tensor in HBM (~205 MB at B=128×10 s) and runs the fp32 DFT at HIGHEST
 precision — ~11.5 ms of the serving batch. This kernel streams the waveform
 HBM→VMEM in overlapping frame blocks and computes everything in one pass:
 
-  * Frame construction WITHOUT a gather: the 128-frame block's samples are
-    viewed as (130, 160) hop-rows; frame r = rows r, r+1, r+2 concatenated
-    and truncated to 400 — three static sublane slices + a lane concat.
+  * Frame construction WITHOUT a gather or concat: the block's samples are
+    viewed as hop-rows (r, 160); frame r spans rows r..r+2, so the frame
+    matmul decomposes into 3 partial matmuls against hop-row bands of the
+    bases (zero-padded so the trailing band ignores out-of-frame samples).
   * DC removal and pre-emphasis are LINEAR per-frame operators, so they are
     folded into the windowed DFT bases offline:
         bases' = (I - 11^T/400) @ P @ diag(w) @ [C | S]
@@ -76,7 +77,7 @@ def folded_bases(cfg: LogMelConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def _mel_kernel(wav_hbm, cos_ref, sin_ref, mel_ref, o_ref, wscratch, sem,
-                *, hop, frame_len, block_samples, rows, scale, floor):
+                *, hop, n_bands, rows, scale, floor):
     b = pl.program_id(0)
     fb = pl.program_id(1)
     F = FRAMES_PER_BLOCK
@@ -92,19 +93,26 @@ def _mel_kernel(wav_hbm, cos_ref, sin_ref, mel_ref, o_ref, wscratch, sem,
     dma.wait()
 
     v = wscratch[...] * scale                             # (rows, hop)
-    frames = jnp.concatenate(
-        [v[0:F], v[1 : F + 1], v[2 : F + 2]], axis=1
-    )[:, :frame_len]                                       # (F, frame_len)
 
+    # Frame r spans hop-rows r, r+1, r+2 (400 = 160+160+80 samples), so
+    # frames @ bases decomposes into THREE partial matmuls against row-bands
+    # of the bases — no concat (Mosaic can't concat mismatched sublane
+    # offsets) and the zero rows padding the third band nullify the 80
+    # trailing samples that don't belong to the frame.
     hi = jax.lax.Precision.HIGHEST
-    re = jax.lax.dot_general(
-        frames, cos_ref[...], (((1,), (0,)), ((), ())),
-        precision=hi, preferred_element_type=jnp.float32,
-    )
-    im = jax.lax.dot_general(
-        frames, sin_ref[...], (((1,), (0,)), ((), ())),
-        precision=hi, preferred_element_type=jnp.float32,
-    )
+
+    def dft(b_ref):
+        acc = None
+        for j in range(n_bands):
+            part = jax.lax.dot_general(
+                v[j : F + j], b_ref[j], (((1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        return acc
+
+    re = dft(cos_ref)
+    im = dft(sin_ref)
     power = re * re + im * im
     mel = jax.lax.dot_general(
         power, mel_ref[...], (((1,), (0,)), ((), ())),
@@ -126,8 +134,21 @@ class PallasLogMelFrontEnd:
         self.config = config
         self.interpret = interpret
         cosb, sinb, mel = folded_bases(config)
-        self._cos = jnp.asarray(cosb)
-        self._sin = jnp.asarray(sinb)
+
+        # split the (frame_len, bins) bases into hop-row bands padded to a
+        # full hop of rows: (n_bands, hop, bins) — see _mel_kernel.
+        hop, L = config.hop_length, config.frame_length
+        nb = -(-L // hop)
+        def band(b):
+            out = np.zeros((nb, hop, b.shape[1]), np.float32)
+            for j in range(nb):
+                rows = b[j * hop : min((j + 1) * hop, L)]
+                out[j, : rows.shape[0]] = rows
+            return out
+
+        self._n_bands = nb
+        self._cos = jnp.asarray(band(cosb))
+        self._sin = jnp.asarray(band(sinb))
         self._mel = jnp.asarray(mel)
 
     def output_length(self, num_samples):
@@ -161,17 +182,16 @@ class PallasLogMelFrontEnd:
 
         out = pl.pallas_call(
             partial(
-                _mel_kernel, hop=hop, frame_len=L,
-                block_samples=block_samples, rows=rows,
+                _mel_kernel, hop=hop, n_bands=self._n_bands, rows=rows,
                 scale=np.float32(cfg.waveform_scale),
                 floor=np.float32(cfg.mel_floor),
             ),
             grid=(B, FB),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),      # waveform in HBM
-                pl.BlockSpec(self._cos.shape, lambda b, f: (0, 0),
+                pl.BlockSpec(self._cos.shape, lambda b, f: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(self._sin.shape, lambda b, f: (0, 0),
+                pl.BlockSpec(self._sin.shape, lambda b, f: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(self._mel.shape, lambda b, f: (0, 0),
                              memory_space=pltpu.VMEM),
