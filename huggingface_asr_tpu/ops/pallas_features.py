@@ -170,6 +170,7 @@ class PallasLogMelFrontEnd:
         FB = -(-num_frames // F)
         block_samples = (F - 1) * hop + L                  # 20,720 @ defaults
         rows = -(-block_samples // hop) + 1                # +1 spare row
+        rows = -(-rows // 8) * 8                           # DMA slices need 8-aligned rows
         # pad so every block's `rows` hop-rows exist: last block starts at
         # hop-row (FB-1)*F and reads `rows` rows.
         n_rows = (FB - 1) * F + rows
