@@ -16,8 +16,9 @@ HBM→VMEM in overlapping frame blocks and computes everything in one pass:
     matmuls (cos/sin), square-add, one (257→80) mel matmul, and log.
   * CMVN stays in XLA (one cheap pass; it needs full-utterance statistics).
 
-Grid: (B, ceil(T/128)); the waveform stays in HBM (ANY) and each program
-DMAs its 20,720-sample window into VMEM scratch.
+Grid: (B, ceil(T/128)); the utterance's hop-rows are one per-batch VMEM
+block (<=1 MB at 10 s) sliced per frame block — the BlockSpec pipeline does
+the HBM->VMEM staging.
 
 Reference behavior: HF Speech2TextFeatureExtractor as wrapped by the
 reference's CustomFeatureExtractor (src/utilities/feature_extractors.py:14-61);
@@ -76,23 +77,15 @@ def folded_bases(cfg: LogMelConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
     )
 
 
-def _mel_kernel(wav_hbm, cos_ref, sin_ref, mel_ref, o_ref, wscratch, sem,
+def _mel_kernel(wav_ref, cos_ref, sin_ref, mel_ref, o_ref,
                 *, hop, n_bands, rows, scale, floor):
-    b = pl.program_id(0)
     fb = pl.program_id(1)
     F = FRAMES_PER_BLOCK
 
-    # waveform arrives pre-shaped (B, n_rows, hop): DMA `rows` hop-rows
-    # directly into the 2-D scratch (Mosaic cannot reshape 1D->2D vectors).
-    dma = pltpu.make_async_copy(
-        wav_hbm.at[b, pl.ds(fb * F, rows), :],
-        wscratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-
-    v = wscratch[...] * scale                             # (rows, hop)
+    # waveform arrives pre-shaped (B, n_rows, hop); the whole utterance's
+    # hop-rows are one VMEM block (<=1 MB at 10 s), sliced per frame block.
+    start = pl.multiple_of(fb * F, F)
+    v = wav_ref[0, pl.ds(start, rows), :] * scale         # (rows, hop)
 
     # Frame r spans hop-rows r, r+1, r+2 (400 = 160+160+80 samples), so
     # frames @ bases decomposes into THREE partial matmuls against row-bands
@@ -189,7 +182,8 @@ class PallasLogMelFrontEnd:
             ),
             grid=(B, FB),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),      # waveform in HBM
+                pl.BlockSpec((1, n_rows, hop), lambda b, f: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(self._cos.shape, lambda b, f: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(self._sin.shape, lambda b, f: (0, 0, 0),
@@ -204,10 +198,6 @@ class PallasLogMelFrontEnd:
             out_shape=jax.ShapeDtypeStruct(
                 (B, FB * F, cfg.num_mel_bins), jnp.float32
             ),
-            scratch_shapes=[
-                pltpu.VMEM((rows, hop), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
             interpret=self.interpret,
         )(waveforms.astype(jnp.float32), self._cos, self._sin, self._mel)
 
