@@ -78,40 +78,40 @@ def folded_bases(cfg: LogMelConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def _mel_kernel(wav_ref, cos_ref, sin_ref, mel_ref, o_ref,
-                *, hop, n_bands, rows, scale, floor):
-    fb = pl.program_id(1)
+                *, hop, n_bands, rows, n_blocks, scale, floor, precision):
     F = FRAMES_PER_BLOCK
-
-    # waveform arrives pre-shaped (B, n_rows, hop); the whole utterance's
-    # hop-rows are one VMEM block (<=1 MB at 10 s), sliced per frame block.
-    start = pl.multiple_of(fb * F, F)
-    v = wav_ref[0, pl.ds(start, rows), :] * scale         # (rows, hop)
-
-    # Frame r spans hop-rows r, r+1, r+2 (400 = 160+160+80 samples), so
-    # frames @ bases decomposes into THREE partial matmuls against row-bands
-    # of the bases — no concat (Mosaic can't concat mismatched sublane
-    # offsets) and the zero rows padding the third band nullify the 80
-    # trailing samples that don't belong to the frame.
-    hi = jax.lax.Precision.HIGHEST
-
-    def dft(b_ref):
-        acc = None
-        for j in range(n_bands):
-            part = jax.lax.dot_general(
-                v[j : F + j], b_ref[j], (((1,), (0,)), ((), ())),
-                precision=hi, preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
-        return acc
-
-    re = dft(cos_ref)
-    im = dft(sin_ref)
-    power = re * re + im * im
-    mel = jax.lax.dot_general(
-        power, mel_ref[...], (((1,), (0,)), ((), ())),
-        precision=hi, preferred_element_type=jnp.float32,
+    hi = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.HIGH
     )
-    o_ref[0] = jnp.log(jnp.maximum(mel, floor))
+
+    # One program per batch item; all frame blocks computed in an unrolled
+    # loop (a separate grid dimension left each program too small — the
+    # per-program overhead dominated the matmuls).
+    for fb in range(n_blocks):
+        v = wav_ref[0, fb * F : fb * F + rows, :] * scale   # (rows, hop)
+
+        # Frame r spans hop-rows r..r+n_bands-1, so frames @ bases decomposes
+        # into n_bands partial matmuls against row-bands of the bases — no
+        # concat (Mosaic can't concat mismatched sublane offsets); the zero
+        # rows padding the last band nullify out-of-frame samples.
+        def dft(b_ref):
+            acc = None
+            for j in range(n_bands):
+                part = jax.lax.dot_general(
+                    v[j : F + j], b_ref[j], (((1,), (0,)), ((), ())),
+                    precision=hi, preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+            return acc
+
+        power = dft(cos_ref) ** 2 + dft(sin_ref) ** 2
+        mel = jax.lax.dot_general(
+            power, mel_ref[...], (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32,
+        )
+        o_ref[0, fb * F : (fb + 1) * F, :] = jnp.log(jnp.maximum(mel, floor))
 
 
 class PallasLogMelFrontEnd:
@@ -177,22 +177,23 @@ class PallasLogMelFrontEnd:
         out = pl.pallas_call(
             partial(
                 _mel_kernel, hop=hop, n_bands=self._n_bands, rows=rows,
-                scale=np.float32(cfg.waveform_scale),
+                n_blocks=FB, scale=np.float32(cfg.waveform_scale),
                 floor=np.float32(cfg.mel_floor),
+                precision=cfg.matmul_precision,
             ),
-            grid=(B, FB),
+            grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, n_rows, hop), lambda b, f: (b, 0, 0),
+                pl.BlockSpec((1, n_rows, hop), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(self._cos.shape, lambda b, f: (0, 0, 0),
+                pl.BlockSpec(self._cos.shape, lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(self._sin.shape, lambda b, f: (0, 0, 0),
+                pl.BlockSpec(self._sin.shape, lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(self._mel.shape, lambda b, f: (0, 0),
+                pl.BlockSpec(self._mel.shape, lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, F, cfg.num_mel_bins), lambda b, f: (b, f, 0),
+                (1, FB * F, cfg.num_mel_bins), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
