@@ -202,7 +202,7 @@ def _layer_kernel(*refs, st: LayerStatic):
 
     # key-column mask from per-batch lengths (VMEM (bb, 1) block)
     col = jax.lax.broadcasted_iota(jnp.int32, (bb, T, T), 2)
-    kmask = col < w["lens_vec"][...][:, :, None]       # (bb, T, T)
+    kmask = col < w["lens_vec"][...]                   # (bb,1,1) vs (bb,T,T)
 
     for hd in range(H) if "no_attn" not in ab else ():
         qe = jnp.dot(
@@ -431,7 +431,7 @@ def ebranchformer_layer(
 
     in_specs = [
         pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(wa.shape, const_map(wa.ndim), memory_space=pltpu.VMEM)
         for wa in w_list
@@ -459,6 +459,6 @@ def ebranchformer_layer(
         interpret=interpret,
     )(
         x.astype(jnp.bfloat16),
-        lengths.astype(jnp.int32).reshape(-1, 1),
+        lengths.astype(jnp.int32).reshape(-1, 1, 1),
         *w_list,
     )
