@@ -125,7 +125,7 @@ def main(argv=None):
         )
 
         plan = load_preprocessing_config(training.preprocessing_config, training.seed)
-        speed_perturb = plan.speed_perturbation
+        speed_perturb = plan.audio_transform
         if plan.spec_augment is not None:
             trainer_cfg = _dc.replace(
                 trainer_cfg,
@@ -162,6 +162,9 @@ def main(argv=None):
         state = trainer.init_state(example)
     if training.restart_from:
         state = trainer.restore_checkpoint(state, None)
+    if hasattr(speed_perturb, "set_step"):
+        # delayed-start transforms resume from the restored global step
+        speed_perturb.set_step(int(state.step))
 
     metrics_logger = MetricsLogger(training.output_dir, use_wandb=training.report_to_wandb)
 

@@ -68,6 +68,10 @@ class SpeechCollator:
     def __call__(self, examples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         from huggingface_asr_tpu.data.native_collate import collate_f32
 
+        # step-delayed transform chains count assembled batches
+        if hasattr(self.audio_transform, "advance_batch"):
+            self.audio_transform.advance_batch()
+
         cfg = self.config
         audios = [self._audio_array(e[cfg.audio_key]) for e in examples]
         padded_len = quantize_length(max(len(a) for a in audios), cfg.bucketing)

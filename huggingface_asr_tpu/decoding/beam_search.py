@@ -67,6 +67,52 @@ class BeamSearchConfig:
     approx_topk_recall: float = 0.99
 
 
+def apply_eos_space_trick_scores(
+    combined: jnp.ndarray,   # (BW, K) mixed candidate scores
+    cand_ids: jnp.ndarray,   # (BW, K) token ids of the candidates
+    cand_att: jnp.ndarray,   # (BW, K) attention log-probs at the candidates
+    cand_ctc: jnp.ndarray,   # (BW, K) CTC prefix scores at the candidates
+    *,
+    eos_token_id: int,
+    space_token_id: int,
+    weight: float,
+) -> jnp.ndarray:
+    """Reference eos-space trick (ctc_scorer.py:333-349) over a candidate set.
+
+    Per beam row: when attention's best token is EOS but CTC's best is space,
+    and the mixed EOS score loses to space while ``weight * eos`` would win,
+    multiply the mixed EOS score by ``weight`` (log-domain boost for
+    weight < 1, scores being negative log-probs).
+
+    The reference takes argmaxes over the FULL vocab; here they run over the
+    candidate set. EOS is always a candidate (appended column), so the
+    att-argmax clause matches whenever it can matter; if space falls outside
+    the att top-K preselection the trick cannot fire — but then space cannot
+    be selected either, which is the scenario the trick exists to prevent.
+    Exact-parity is asserted against the reference implementation at K=V in
+    tests/test_beam_components.py::test_eos_space_trick_parity.
+    """
+    att_argmax = jnp.take_along_axis(
+        cand_ids, jnp.argmax(cand_att, axis=1)[:, None], axis=1
+    )[:, 0]
+    ctc_argmax = jnp.take_along_axis(
+        cand_ids, jnp.argmax(cand_ctc, axis=1)[:, None], axis=1
+    )[:, 0]
+    is_eos_col = cand_ids == eos_token_id
+    eos_score = jnp.where(is_eos_col, combined, NEG_INF).max(axis=1)
+    space_col = cand_ids == space_token_id
+    space_score = jnp.where(space_col, combined, NEG_INF).max(axis=1)
+    conflict = (
+        (att_argmax == eos_token_id)
+        & (ctc_argmax == space_token_id)
+        & (eos_score < space_score)
+        & (weight * eos_score > space_score)
+    )
+    return jnp.where(
+        conflict[:, None] & is_eos_col, combined * weight, combined
+    )
+
+
 class _BeamState(NamedTuple):
     step: jnp.ndarray
     alive_tokens: jnp.ndarray  # (B, W, L)
@@ -217,29 +263,11 @@ def joint_beam_search(
                 + cfg.lm_weight * cand_lm
             )
             if cfg.apply_eos_space_trick:
-                # reference ctc_scorer.py:333-349: when att prefers EOS but
-                # CTC prefers space and the trick-weighted EOS score
-                # overtakes space, boost EOS.
-                att_argmax = jnp.take_along_axis(
-                    cand_ids, jnp.argmax(cand_att, axis=1)[:, None], axis=1
-                )[:, 0]
-                ctc_argmax = jnp.take_along_axis(
-                    cand_ids, jnp.argmax(cand_ctc, axis=1)[:, None], axis=1
-                )[:, 0]
-                is_eos_col = cand_ids == cfg.eos_token_id
-                eos_score = jnp.where(is_eos_col, combined, NEG_INF).max(axis=1)
-                space_col = cand_ids == cfg.space_token_id
-                space_score = jnp.where(space_col, combined, NEG_INF).max(axis=1)
-                conflict = (
-                    (att_argmax == cfg.eos_token_id)
-                    & (ctc_argmax == cfg.space_token_id)
-                    & (eos_score < space_score)
-                    & (cfg.eos_space_trick_weight * eos_score > space_score)
-                )
-                combined = jnp.where(
-                    conflict[:, None] & is_eos_col,
-                    combined * cfg.eos_space_trick_weight,
-                    combined,
+                combined = apply_eos_space_trick_scores(
+                    combined, cand_ids, cand_att, cand_ctc,
+                    eos_token_id=cfg.eos_token_id,
+                    space_token_id=cfg.space_token_id,
+                    weight=cfg.eos_space_trick_weight,
                 )
         else:
             cand_ctc = jnp.zeros_like(cand_att)

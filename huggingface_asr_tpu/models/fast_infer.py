@@ -85,8 +85,8 @@ def ctc_infer_fused(
 
     def body(h, layer_w):
         h = ebranchformer_layer(
-            h, out_lengths, layer_w, cfg, bb=bb, interpret=interpret,
-            ablate=ablate,
+            h, out_lengths, layer_w, cfg, bb=bb, t_valid=T,
+            interpret=interpret, ablate=ablate,
         )
         return h, None
 

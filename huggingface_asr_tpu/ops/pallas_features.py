@@ -1,24 +1,40 @@
 """Fused waveform → log-mel Pallas TPU kernel.
 
 The XLA front end (ops/features.py) materializes the (B, T, 400) frame
-tensor in HBM (~205 MB at B=128×10 s) and runs the fp32 DFT at HIGHEST
-precision — ~11.5 ms of the serving batch. This kernel streams the waveform
-HBM→VMEM in overlapping frame blocks and computes everything in one pass:
+tensor in HBM (~205 MB at B=128×10 s), runs several elementwise passes over
+it (DC removal, pre-emphasis) and a lane-hostile DFT (N=257 pads to 384).
+This kernel streams the waveform HBM→VMEM and computes everything in one
+pass with MXU-friendly tiles:
 
-  * Frame construction WITHOUT a gather or concat: the block's samples are
-    viewed as hop-rows (r, 160); frame r spans rows r..r+2, so the frame
-    matmul decomposes into 3 partial matmuls against hop-row bands of the
-    bases (zero-padded so the trailing band ignores out-of-frame samples).
-  * DC removal and pre-emphasis are LINEAR per-frame operators, so they are
-    folded into the windowed DFT bases offline:
-        bases' = (I - 11^T/400) @ P @ diag(w) @ [C | S]
-    (P = bidiagonal pre-emphasis). The kernel then does exactly two fp32
-    matmuls (cos/sin), square-add, one (257→80) mel matmul, and log.
+  * Frame construction WITHOUT a gather: the waveform is viewed as hop-rows
+    (r, 160); frame r spans rows r..r+2, so the frame matmul decomposes into
+    3 partial matmuls against hop-row bands of the bases — each ONE
+    (n_rows, hop) @ (hop, 512) dot over ALL frames (band j's operand is a
+    sublane-offset read, which Mosaic lowers to a cheap rotate; the
+    frame-blocked formulation with 24 small dots per program was 5x
+    slower). Waveforms can be passed pre-reshaped as (B, rows, hop) —
+    ``rows_alloc`` — which removes the XLA pad+reshape relayout (~half the
+    front-end runtime at B=128); a (B, S) input is reshaped on device.
+  * cos and sin bases are CONCATENATED along the output axis and the
+    all-zero Nyquist bin is dropped (the Kaldi mel bank's last triangle
+    ends exactly at f_max, weight 0 — asserted offline), so each DFT matmul
+    is (F, 160) @ (160, 512): the output axis is lane-exact.
+  * DC removal, pre-emphasis and the scalar waveform scale are LINEAR
+    per-frame operators folded into the windowed DFT bases offline:
+        bases' = scale * (M^T @ diag(w) @ [C | S]),  M = P @ D
+    (P = bidiagonal pre-emphasis, D = DC removal). The kernel then does
+    the banded DFT matmul, square-add over the two lane halves, one
+    (256→80) mel matmul, and log.
+  * ``matmul_precision="highest"`` uses the MXU 6-pass fp32 decomposition
+    (Mosaic's only fp32 dot mode). ``"high"`` implements the 3-pass
+    decomposition MANUALLY for the DFT (hi/lo bf16 split of both operands,
+    dropping the lo·lo term) — Mosaic has no HIGH dot primitive; accuracy
+    ~1e-5 relative on DFT coefficients. The tiny mel matmul always runs
+    HIGHEST (it is positive and well-conditioned, and costs ~5% of the DFT).
   * CMVN stays in XLA (one cheap pass; it needs full-utterance statistics).
 
-Grid: (B, ceil(T/128)); the utterance's hop-rows are one per-batch VMEM
-block (<=1 MB at 10 s) sliced per frame block — the BlockSpec pipeline does
-the HBM->VMEM staging.
+Grid: (B,); each utterance's three shifted hop-row views are per-batch VMEM
+blocks (<=0.7 MB each at 10 s); frame blocks are an unrolled in-kernel loop.
 
 Reference behavior: HF Speech2TextFeatureExtractor as wrapped by the
 reference's CustomFeatureExtractor (src/utilities/feature_extractors.py:14-61);
@@ -46,8 +62,12 @@ from huggingface_asr_tpu.ops.features import (
 FRAMES_PER_BLOCK = 128
 
 
-def folded_bases(cfg: LogMelConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(cos', sin', mel) with window, DC-removal and pre-emphasis folded in."""
+def folded_bases(cfg: LogMelConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """(dft', mel') with window, scale, DC-removal and pre-emphasis folded in.
+
+    dft' is (frame_length, 2*(bins-1)): [cos | sin] with the all-zero-mel
+    Nyquist bin dropped; mel' is (bins-1, num_mel).
+    """
     L = cfg.frame_length
     cos_b, sin_b = _dft_bases(cfg)
     w = povey_window(L)
@@ -70,48 +90,65 @@ def folded_bases(cfg: LogMelConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
         max_frequency=cfg.sampling_rate / 2,
         sampling_rate=cfg.sampling_rate,
     )
-    return (
-        (M.T @ wc).astype(np.float32),
-        (M.T @ ws).astype(np.float32),
-        mel.astype(np.float32),
-    )
-
-
-def _mel_kernel(wav_ref, cos_ref, sin_ref, mel_ref, o_ref,
-                *, hop, n_bands, rows, n_blocks, scale, floor, precision):
-    F = FRAMES_PER_BLOCK
-    hi = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.HIGH
-    )
-
-    # One program per batch item; all frame blocks computed in an unrolled
-    # loop (a separate grid dimension left each program too small — the
-    # per-program overhead dominated the matmuls).
-    for fb in range(n_blocks):
-        v = wav_ref[0, fb * F : fb * F + rows, :] * scale   # (rows, hop)
-
-        # Frame r spans hop-rows r..r+n_bands-1, so frames @ bases decomposes
-        # into n_bands partial matmuls against row-bands of the bases — no
-        # concat (Mosaic can't concat mismatched sublane offsets); the zero
-        # rows padding the last band nullify out-of-frame samples.
-        def dft(b_ref):
-            acc = None
-            for j in range(n_bands):
-                part = jax.lax.dot_general(
-                    v[j : F + j], b_ref[j], (((1,), (0,)), ((), ())),
-                    precision=hi, preferred_element_type=jnp.float32,
-                )
-                acc = part if acc is None else acc + part
-            return acc
-
-        power = dft(cos_ref) ** 2 + dft(sin_ref) ** 2
-        mel = jax.lax.dot_general(
-            power, mel_ref[...], (((1,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=jnp.float32,
+    if np.abs(mel[-1]).max() != 0.0:  # pragma: no cover - standard configs only
+        raise NotImplementedError(
+            "PallasLogMelFrontEnd requires a zero-weight Nyquist mel row"
         )
-        o_ref[0, fb * F : (fb + 1) * F, :] = jnp.log(jnp.maximum(mel, floor))
+    dft = np.concatenate([M.T @ wc[:, :-1], M.T @ ws[:, :-1]], axis=1)
+    return (
+        (dft * np.float32(cfg.waveform_scale)).astype(np.float32),
+        mel[:-1].astype(np.float32),
+    )
+
+
+def _split_hi_lo(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    hi = np.asarray(jnp.asarray(a, jnp.float32).astype(jnp.bfloat16))
+    lo = np.asarray(
+        jnp.asarray(a - hi.astype(np.float32), jnp.float32).astype(jnp.bfloat16)
+    )
+    return hi, lo
+
+
+def _mel_kernel(rows_ref, dft_ref, mel_ref, o_ref,
+                *, n_rows, n_bands, nbins, floor, highest):
+    HI = jax.lax.Precision.HIGHEST
+
+    # One program per batch item. Each band is ONE (n_rows, hop)@(hop, 2N)
+    # matmul — frame r's contribution from hop-row r+j — so the MXU sees
+    # M=1024 dots instead of 24 tiny per-block ones. Band j's operand is a
+    # sublane-shifted read (offset j): Mosaic lowers this to a sublane
+    # rotate, far cheaper than the lane-relayout an XLA pre-shift costs.
+    coef = None
+    for j in range(n_bands):
+        v = rows_ref[0, j : j + n_rows, :]                  # (n_rows, hop)
+        if highest:
+            part = jax.lax.dot_general(
+                v, dft_ref[0, j], (((1,), (0,)), ((), ())),
+                precision=HI, preferred_element_type=jnp.float32,
+            )
+        else:
+            # manual 3-pass fp32: (hi+lo) @ (hi+lo) minus the lo·lo term
+            v_hi = v.astype(jnp.bfloat16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            part = (
+                jax.lax.dot_general(
+                    v_hi, dft_ref[0, j], dims,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    v_hi, dft_ref[1, j], dims,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    v_lo, dft_ref[0, j], dims,
+                    preferred_element_type=jnp.float32)
+            )
+        coef = part if coef is None else coef + part
+    power = coef[:, :nbins] ** 2 + coef[:, nbins:] ** 2
+    mel = jax.lax.dot_general(
+        power, mel_ref[...], (((1,), (0,)), ((), ())),
+        precision=HI, preferred_element_type=jnp.float32,
+    )
+    o_ref[0, :, :] = jnp.log(jnp.maximum(mel, floor))
 
 
 class PallasLogMelFrontEnd:
@@ -124,70 +161,106 @@ class PallasLogMelFrontEnd:
     def __init__(self, config: LogMelConfig = LogMelConfig(), interpret: bool = False):
         if config.norm_type == "global":
             raise NotImplementedError("use LogMelFrontEnd for global CMVN")
+        if config.matmul_precision not in ("highest", "high"):
+            raise NotImplementedError(
+                "PallasLogMelFrontEnd supports matmul_precision in "
+                "{'highest', 'high'}"
+            )
         self.config = config
         self.interpret = interpret
-        cosb, sinb, mel = folded_bases(config)
+        self._highest = config.matmul_precision == "highest"
+        dft, mel = folded_bases(config)
 
-        # split the (frame_len, bins) bases into hop-row bands padded to a
-        # full hop of rows: (n_bands, hop, bins) — see _mel_kernel.
         hop, L = config.hop_length, config.frame_length
         nb = -(-L // hop)
-        def band(b):
-            out = np.zeros((nb, hop, b.shape[1]), np.float32)
-            for j in range(nb):
-                rows = b[j * hop : min((j + 1) * hop, L)]
-                out[j, : rows.shape[0]] = rows
-            return out
-
         self._n_bands = nb
-        self._cos = jnp.asarray(band(cosb))
-        self._sin = jnp.asarray(band(sinb))
+        # split the (frame_len, 2*nbins) bases into per-band row blocks padded
+        # to a full hop of rows: (nb, hop, 2*nbins)
+        dft_b = np.zeros((nb, hop, dft.shape[1]), np.float32)
+        for j in range(nb):
+            rows = dft[j * hop : min((j + 1) * hop, L)]
+            dft_b[j, : rows.shape[0]] = rows
+        if self._highest:
+            self._dft = jnp.asarray(dft_b[None])          # (1, nb, hop, 2N) f32
+        else:
+            hi, lo = _split_hi_lo(dft_b)
+            self._dft = jnp.asarray(np.stack([hi, lo]))   # (2, nb, hop, 2N) bf16
         self._mel = jnp.asarray(mel)
+        self._nbins = mel.shape[0]
 
     def output_length(self, num_samples):
         return self.config.num_frames(num_samples)
 
+    def rows_alloc(self, num_samples: int) -> int:
+        """Hop-row count of the preferred 3-D input layout for utterances of
+        ``num_samples``: pass waveforms as (B, rows_alloc, hop_length) —
+        e.g. a free ``np.reshape`` of the zero-padded host buffer — and the
+        XLA pad+reshape relayout (~half the front end's runtime at B=128)
+        disappears entirely."""
+        F = FRAMES_PER_BLOCK
+        num_frames = int(self.config.num_frames(num_samples))
+        n_rows = -(-num_frames // F) * F
+        return -(-(n_rows + self._n_bands - 1) // 8) * 8
+
     def __call__(
-        self, waveforms: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+        self,
+        waveforms: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        num_samples: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         if waveforms.ndim == 1:
             waveforms = waveforms[None]
-        B, S = waveforms.shape
-        if lengths is None:
-            lengths = jnp.full((B,), S, dtype=jnp.int32)
+        hop = cfg.hop_length
+        if waveforms.ndim == 3:
+            # Preferred layout: (B, rows, hop) hop-row view, zero-padded to
+            # >= rows_alloc(num_samples) rows (see ``rows_alloc``).
+            B, rows, hop_in = waveforms.shape
+            if hop_in != hop:
+                raise ValueError(f"hop-row layout must have last dim {hop}")
+            if lengths is None or num_samples is None:
+                raise ValueError(
+                    "hop-row layout requires explicit lengths and num_samples"
+                )
+            S = int(num_samples)
+        else:
+            B, S = waveforms.shape
+            if lengths is None:
+                lengths = jnp.full((B,), S, dtype=jnp.int32)
 
         F = FRAMES_PER_BLOCK
-        hop, L = cfg.hop_length, cfg.frame_length
         num_frames = int(cfg.num_frames(S))
         FB = -(-num_frames // F)
-        block_samples = (F - 1) * hop + L                  # 20,720 @ defaults
-        rows = -(-block_samples // hop) + 1                # +1 spare row
-        rows = -(-rows // 8) * 8                           # DMA slices need 8-aligned rows
-        # pad so every block's `rows` hop-rows exist: last block starts at
-        # hop-row (FB-1)*F and reads `rows` rows.
-        n_rows = (FB - 1) * F + rows
-        S_pad = n_rows * hop
-        if S_pad > S:
-            waveforms = jnp.pad(waveforms, ((0, 0), (0, S_pad - S)))
-        elif S_pad < S:
-            waveforms = waveforms[:, :S_pad]
-        waveforms = waveforms.reshape(B, n_rows, hop)
+        n_rows = FB * F
+        # Hop-row view (one aligned XLA reshape); +pad rows so band j can
+        # read rows [j, j + n_rows).
+        rows_alloc = -(-(n_rows + self._n_bands - 1) // 8) * 8
+        if waveforms.ndim == 3:
+            if waveforms.shape[1] < rows_alloc:
+                waveforms = jnp.pad(
+                    waveforms,
+                    ((0, 0), (0, rows_alloc - waveforms.shape[1]), (0, 0)),
+                )
+            wf = waveforms[:, :rows_alloc].astype(jnp.float32)
+        else:
+            S_need = rows_alloc * hop
+            if S_need > S:
+                waveforms = jnp.pad(waveforms, ((0, 0), (0, S_need - S)))
+            elif S_need < S:
+                waveforms = waveforms[:, :S_need]
+            wf = waveforms.astype(jnp.float32).reshape(B, rows_alloc, hop)
 
         out = pl.pallas_call(
             partial(
-                _mel_kernel, hop=hop, n_bands=self._n_bands, rows=rows,
-                n_blocks=FB, scale=np.float32(cfg.waveform_scale),
-                floor=np.float32(cfg.mel_floor),
-                precision=cfg.matmul_precision,
+                _mel_kernel, n_rows=n_rows, n_bands=self._n_bands,
+                nbins=self._nbins,
+                floor=np.float32(cfg.mel_floor), highest=self._highest,
             ),
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, n_rows, hop), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, rows_alloc, hop), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(self._cos.shape, lambda b: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(self._sin.shape, lambda b: (0, 0, 0),
+                pl.BlockSpec(self._dft.shape, lambda b: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(self._mel.shape, lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -200,7 +273,7 @@ class PallasLogMelFrontEnd:
                 (B, FB * F, cfg.num_mel_bins), jnp.float32
             ),
             interpret=self.interpret,
-        )(waveforms.astype(jnp.float32), self._cos, self._sin, self._mel)
+        )(wf, self._dft, self._mel)
 
         log_mel = out[:, :num_frames]
         feat_lengths = cfg.num_frames(lengths).astype(jnp.int32)

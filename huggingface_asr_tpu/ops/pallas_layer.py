@@ -13,18 +13,30 @@ Design notes:
   * Relative positions use the EXACT sinusoid-addition factorization (see
     ``relpos_impl="factored"`` in models/ebranchformer.py): the positional
     term becomes ``rot_t(W_pos^T q_v[t]) . PE_std[s]`` — a clean K=D MXU
-    matmul per (batch, head); no gather, no Transformer-XL shift. W_pos^T is
-    pre-folded into a per-head (D, D) projection of the POST-LayerNorm input
-    (``fold_layer_weights``), so the kernel never sees the raw pos table.
+    matmul per (batch, head); no gather, no Transformer-XL shift. The
+    composite map input → PE-coefficients factors through the head's
+    query space, so it has rank <= dh; the kernel computes it LOW-RANK
+    (``qv_h @ Wp_h^T``, K=dh) instead of folding a dense (D, D) matrix —
+    ~8x fewer positional-path FLOPs than the round-2 kernel.
+  * The 1/sqrt(dh) attention scale is pre-folded into W_q and both attention
+    bias vectors (``fold_layer_weights``), removing a (bb,T,T) multiply per
+    head; softmax division is applied AFTER the probs @ V matmul on the
+    (bb,T,dh) output instead of the (bb,T,T) probs.
+  * GELU (erf) is computed by the Abramowitz-Stegun 7.1.28 rational bound
+    (|err| <= 3e-7, far below bf16 resolution) — no transcendental, no
+    per-element exp: 6 FMAs + 4 squarings + one divide.
   * Depthwise convs (CSGU kernel-31 and merge-fusion kernel-31) are computed
-    from a zero-padded VMEM buffer with K static-offset slice-FMAs — pure VPU,
-    fp32 accumulation, no rolls or masks.
-  * Grid is (B // bb,); per-program VMEM is ~8 MB of activations at bb=4,
-    T=256 plus ~5 MB of resident weights.
+    from a zero-padded fp32 VMEM buffer with K static-offset slice-FMAs —
+    pure VPU, fp32 accumulation, no per-tap dtype conversions.
+  * Grid is (B // bb,); per-program VMEM is ~10 MB of activations at bb=4,
+    T=256 plus ~4 MB of resident weights.
 
-Semantics match the XLA layer at the same padded T (padding rows flow through
-LN/FF/conv identically in both implementations; attention masks key columns
-by true length). Parity is asserted by tests/test_pallas_layer.py.
+Semantics match the XLA layer at the same UNPADDED T: rows below ``t_valid``
+(the pre-padding frame count) flow through LN/FF/conv identically in both
+implementations; rows in [t_valid, T) — present only because the kernel pads
+T to a sublane multiple — are masked out of both depthwise convs, so they
+can never contaminate valid frames (attention already masks key columns by
+true length). Parity is asserted by tests/test_pallas_layer.py.
 
 Reference behavior spec: /root/reference/src/models/encoders/e_branchformer.py
 (Wav2Vec2EBranchformerEncoderLayer.forward, :263-313).
@@ -44,9 +56,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e9
 
+
 def _erf(x):
-    """erf via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7 — far below bf16
-    resolution). Mosaic has no erf/erfc primitive; this uses only exp."""
+    """erf via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7). Uses exp — kept
+    for reference/validation; the kernel path uses ``_erf_rational``."""
     p = 0.3275911
     a1, a2, a3, a4, a5 = (
         0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
@@ -58,11 +71,37 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _erf_rational(x):
+    """erf via Abramowitz-Stegun 7.1.28: 1 - 1/(1 + a1 x + ... + a6 x^6)^16
+    for x >= 0 (|err| <= 3e-7 — far below bf16 resolution). No exp, no
+    transcendental: 6 FMAs, 4 squarings, one divide. ~2x cheaper than 7.1.26
+    on the TPU VPU, whose exp is a multi-pass polynomial itself."""
+    a1, a2, a3, a4, a5, a6 = (
+        0.0705230784, 0.0422820123, 0.0092705272,
+        0.0001520143, 0.0002765672, 0.0000430638,
+    )
+    ax = jnp.abs(x)
+    p = ((((((a6 * ax + a5) * ax + a4) * ax + a3) * ax + a2) * ax + a1) * ax
+         + 1.0)
+    p2 = p * p
+    p4 = p2 * p2
+    p8 = p4 * p4
+    p16 = p8 * p8
+    e = 1.0 - 1.0 / p16
+    return jnp.sign(x) * e
+
+
 _SQRT_HALF = 0.7071067811865476
 
 
+def _gelu_exact(x):
+    """Exact (erf-based) GELU to fp32 accuracy ~3e-7 — matches
+    jax.nn.gelu(approximate=False) within bf16 resolution."""
+    return 0.5 * x * (1.0 + _erf_rational(x * _SQRT_HALF))
+
+
 ACT_F32 = {
-    "gelu": lambda x: 0.5 * x * (1.0 + _erf(x * _SQRT_HALF)),
+    "gelu": _gelu_exact,
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "relu": jax.nn.relu,
     "swish": jax.nn.silu,
@@ -76,11 +115,11 @@ WEIGHT_FIELDS = (
     "ff1_ln_g", "ff1_ln_b", "ff1_wi", "ff1_bi", "ff1_wo", "ff1_bo",
     # attention
     "attn_ln_g", "attn_ln_b",
-    "wq", "bq_u",            # bias_u pre-folded into bq_u
+    "wq",                    # 1/sqrt(dh) pre-folded
+    "bq_u", "bq_v",          # (bq + bias_u) * inv, (bq + bias_v) * inv
     "wk", "bk", "wv", "bv",
     "wo", "bo",
-    "cpos_e", "cpos_o",      # (H, D, D/2) folded q->pos projection, de-interleaved
-    "qb_e", "qb_o",          # (H, D/2) folded pos bias
+    "wp_e", "wp_o",          # (H, dh, D/2) low-rank pos projection, de-interleaved
     "rot_cos", "rot_sin",    # (T, D/2) rotation tables
     "k_std",                 # (T, D) ascending sinusoid table [sin | cos]
     # cgMLP
@@ -111,6 +150,9 @@ class LayerStatic:
     csgu_act: str
     has_csgu_linear: bool = False
     bb: int = 4       # batches per program
+    t_valid: int = 0  # pre-padding frame count (0 => T); rows >= t_valid are
+                      # masked out of the depthwise convs so T-padding cannot
+                      # leak into valid frames (the XLA path never sees them)
     # Benchmark-only ablation: comma-joined subset of
     # {"no_attn", "no_dwconv", "no_gelu", "no_ff"} — skips that piece to
     # attribute kernel time. NEVER set in the product path.
@@ -142,20 +184,24 @@ def _mm(a, w_ref, b_ref=None):
 PAD_ALLOC = 16  # sublane padding rows above/below each batch's T rows
 
 
-def _dwconv(x_bTC, w_ref, b_ref, pad_scratch, K, C):
-    """Depthwise conv along T: zero-padded buffer + K static slice-FMAs.
+def _dwconv(x_bTC, w_ref, b_ref, pad_scratch, K, C, t_mask):
+    """Depthwise conv along T: zero-padded fp32 buffer + K static slice-FMAs.
 
-    x_bTC: (bb, T, C) bf16. pad_scratch: (bb, T + 2*PAD_ALLOC, >=C) bf16 ref.
-    Returns (bb, T, C) float32 (accumulator — caller applies act/gate).
+    x_bTC: (bb, T, C) bf16. pad_scratch: (bb, T + 2*PAD_ALLOC, >=C) f32 ref.
+    t_mask: (1, T, 1) bool (valid-frame rows) or None. Returns (bb, T, C)
+    float32 (accumulator — caller applies act/gate).
     """
     bb, T, _ = x_bTC.shape
     P = (K - 1) // 2
-    pad_scratch[...] = jnp.zeros(pad_scratch.shape, jnp.bfloat16)
-    pad_scratch[:, PAD_ALLOC : PAD_ALLOC + T, :C] = x_bTC
+    pad_scratch[...] = jnp.zeros(pad_scratch.shape, jnp.float32)
+    xf = x_bTC.astype(jnp.float32)
+    if t_mask is not None:
+        xf = jnp.where(t_mask, xf, 0.0)
+    pad_scratch[:, PAD_ALLOC : PAD_ALLOC + T, :C] = xf
     acc = jnp.broadcast_to(b_ref[0, :].astype(jnp.float32), (bb, T, C))
     for j in range(K):
         off = PAD_ALLOC + j - P
-        tap = pad_scratch[:, off : off + T, :C].astype(jnp.float32)
+        tap = pad_scratch[:, off : off + T, :C]
         acc = acc + tap * w_ref[j, :].astype(jnp.float32)
     return acc
 
@@ -166,12 +212,25 @@ def _layer_kernel(*refs, st: LayerStatic):
     attn_scratch = refs[-2]
     pad_scratch = refs[-1]
     T, D, H, dh, I, bb = st.T, st.D, st.H, st.dh, st.I, st.bb
+    half = D // 2
     eps = st.eps
     N = bb * T
     ab = set(st.ablate.split(",")) if st.ablate else set()
     act = (
         (lambda z: z) if "no_gelu" in ab else ACT_F32[st.hidden_act]
     )
+    # cgMLP channel_proj1 is ALWAYS exact GELU (reference ConvolutionalGatingMLP
+    # hardcodes nn.GELU; models/ebranchformer.py:361 matches) — cfg.hidden_act
+    # applies only to the macaron FFs.
+    cg_act = (lambda z: z) if "no_gelu" in ab else ACT_F32["gelu"]
+
+    t_valid = st.t_valid or T
+    if t_valid < T:
+        t_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1) < t_valid
+        )
+    else:
+        t_mask = None
 
     x = w["x"][...].reshape(N, D)  # (bb*T, D) bf16
 
@@ -187,34 +246,35 @@ def _layer_kernel(*refs, st: LayerStatic):
 
     # ---- attention branch (global; factored relative positions)
     g = _ln(x, w["attn_ln_g"], w["attn_ln_b"], eps)
-    q_u = _mm(g, w["wq"], w["bq_u"])       # (N, D) with bias_u folded in
+    qq = jnp.dot(g, w["wq"][...], preferred_element_type=jnp.float32)  # (N, D)
+    q_u = (qq + w["bq_u"][0].astype(jnp.float32)).astype(jnp.bfloat16)
+    q_v = (qq + w["bq_v"][0].astype(jnp.float32)).astype(jnp.bfloat16)
     k = _mm(g, w["wk"], w["bk"])
     v = _mm(g, w["wv"], w["bv"])
 
-    # rotated positional query, all heads: loop h over per-head (D,D) fold
     rot_cos = w["rot_cos"][...].astype(jnp.float32)  # (T, half)
     rot_sin = w["rot_sin"][...].astype(jnp.float32)
     cos_n = jnp.concatenate([rot_cos] * bb, axis=0)  # (N, half)
     sin_n = jnp.concatenate([rot_sin] * bb, axis=0)
     k_std = w["k_std"][...]                          # (T, D) bf16
 
-    inv = np.float32(1.0 / np.sqrt(dh))
-
     # key-column mask from per-batch lengths (VMEM (bb, 1) block)
     col = jax.lax.broadcasted_iota(jnp.int32, (bb, T, T), 2)
     kmask = col < w["lens_vec"][...]                   # (bb,1,1) vs (bb,T,T)
 
     for hd in range(H) if "no_attn" not in ab else ():
-        qe = jnp.dot(
-            g, w["cpos_e"][hd], preferred_element_type=jnp.float32
-        ) + w["qb_e"][hd, :].astype(jnp.float32)      # (N, D/2)
-        qo = jnp.dot(
-            g, w["cpos_o"][hd], preferred_element_type=jnp.float32
-        ) + w["qb_o"][hd, :].astype(jnp.float32)
-        q_rot = jnp.concatenate(
-            [cos_n * qe + sin_n * qo, cos_n * qo - sin_n * qe], axis=-1
-        ).astype(jnp.bfloat16)                        # (N, D)
         lanes = slice(hd * dh, (hd + 1) * dh)
+        # low-rank positional coefficients: qv_h @ Wp_h^T, K = dh
+        qvh = q_v[:, lanes]                           # (N, dh)
+        ce = jnp.dot(
+            qvh, w["wp_e"][hd], preferred_element_type=jnp.float32
+        )                                             # (N, D/2)
+        co = jnp.dot(
+            qvh, w["wp_o"][hd], preferred_element_type=jnp.float32
+        )
+        q_rot = jnp.concatenate(
+            [cos_n * ce + sin_n * co, cos_n * co - sin_n * ce], axis=-1
+        ).astype(jnp.bfloat16)                        # (N, D)
         # bd for all rows in ONE matmul; ac/pv batched over bb
         bd = jax.lax.dot_general(
             q_rot, k_std, (((1,), (1,)), ((), ())),
@@ -227,14 +287,16 @@ def _layer_kernel(*refs, st: LayerStatic):
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                              # (bb, T, T)
-        scores = jnp.where(kmask, (ac + bd) * inv, NEG_INF)
+        # 1/sqrt(dh) pre-folded into wq/bq_u and the qv path (fold_layer_weights)
+        scores = jnp.where(kmask, ac + bd, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        z = jnp.sum(e, axis=-1, keepdims=True)         # (bb, T, 1) f32
         out_h = jax.lax.dot_general(
-            probs, vh, (((2,), (1,)), ((0,), (0,))),
+            e.astype(jnp.bfloat16), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                              # (bb, T, dh)
+        out_h = out_h * (1.0 / z)                      # normalize post-PV
         attn_scratch[:, lanes] = out_h.astype(jnp.bfloat16).reshape(N, dh)
 
     g_out = _mm(attn_scratch[...], w["wo"], w["bo"])  # (N, D)
@@ -242,7 +304,7 @@ def _layer_kernel(*refs, st: LayerStatic):
     # ---- cgMLP branch
     l = _ln(x, w["cg_ln_g"], w["cg_ln_b"], eps)
     l = _mm(l, w["cg_w1"], w["cg_b1"])                # (N, I)
-    l = act(l.astype(jnp.float32)).astype(jnp.bfloat16)
+    l = cg_act(l.astype(jnp.float32)).astype(jnp.bfloat16)
     C = I // 2
     x_r = l[:, :C]
     x_g = _ln(l[:, C:], w["csgu_ln_g"], w["csgu_ln_b"], eps)
@@ -252,7 +314,7 @@ def _layer_kernel(*refs, st: LayerStatic):
     else:
         acc = _dwconv(
             x_g.reshape(bb, T, C), w["csgu_dw"], w["csgu_dw_b"], pad_scratch,
-            st.k_csgu, C,
+            st.k_csgu, C, t_mask,
         )
         if st.has_csgu_linear:
             t = _mm(acc.astype(jnp.bfloat16).reshape(N, C),
@@ -268,7 +330,7 @@ def _layer_kernel(*refs, st: LayerStatic):
     if "no_dwconv" not in ab:
         fused = _dwconv(
             merged.reshape(bb, T, 2 * D), w["merge_dw"], w["merge_dw_b"],
-            pad_scratch, st.k_merge, 2 * D,
+            pad_scratch, st.k_merge, 2 * D, t_mask,
         ).astype(jnp.bfloat16).reshape(N, 2 * D)
         merged = merged + fused
     x = (
@@ -294,11 +356,22 @@ def fold_layer_weights(
     """Extract + pre-fold one Flax layer's params into kernel inputs.
 
     lp = params["wav2vec2"]["encoder"][f"layers_{i}"] (EBranchformerEncoderLayer).
+
+    Folds applied (all exact, in fp32 before the bf16 cast):
+      * 1/sqrt(dh) attention scale into W_q and both bias vectors — the
+        positional (bd) term inherits it through q_v, the content (ac) term
+        through q_u, so `scores = ac + bd` needs no multiply in-kernel.
+      * bias_u / bias_v added into the query bias (two bias vectors, one
+        shared W_q matmul in-kernel).
+      * The per-head positional projection is kept LOW-RANK: Wp_h^T as
+        (dh, D), de-interleaved into even/odd sinusoid channels so the
+        kernel needs no strided lane slicing.
     """
     D = cfg.hidden_size
     H = cfg.num_attention_heads
     dh = D // H
     bf = jnp.bfloat16
+    inv = np.float32(1.0 / np.sqrt(dh))
 
     def ln2(p):
         return (
@@ -307,24 +380,20 @@ def fold_layer_weights(
         )
 
     att = lp["self_attn"]
-    wq = jnp.asarray(att["linear_q"]["kernel"], bf)       # (D, D)
+    wq = (jnp.asarray(att["linear_q"]["kernel"], jnp.float32) * inv).astype(bf)
     bq = jnp.asarray(att["linear_q"]["bias"], jnp.float32)
     wp = jnp.asarray(att["linear_pos"]["kernel"], jnp.float32)  # (Din=D, D)
     bias_u = jnp.asarray(att["pos_bias_u"], jnp.float32)  # (H, dh)
     bias_v = jnp.asarray(att["pos_bias_v"], jnp.float32)
 
-    # cpos[h] = Wq[:, h·dh:(h+1)·dh] @ Wp_r[:, h, :]^T  — maps post-LN input
-    # to the pos-basis query coefficient vector (Din-indexed), split into the
+    # Per-head positional projection transposed: wp_t[h] = Wp_r[:, h, :]^T
+    # (dh, D) — maps the head's q_v to PE-coefficient space. Split into the
     # even (sin) and odd (cos) sinusoid channels so the kernel needs no
     # strided lane slicing.
-    wp_r = wp.reshape(D, H, dh)                            # (Din, H, dh)
-    wq_r = jnp.asarray(wq, jnp.float32).reshape(D, H, dh)  # (Din_x, H, dh)
-    cpos = jnp.einsum("xhd,Dhd->hxD", wq_r, wp_r)          # (H, D, D)
-    cpos_e = cpos[:, :, 0::2].astype(bf)                   # (H, D, D/2)
-    cpos_o = cpos[:, :, 1::2].astype(bf)
-    qb = jnp.einsum("hd,Dhd->hD", bq.reshape(H, dh) + bias_v, wp_r)
-    qb_e = qb[:, 0::2].astype(jnp.float32)                 # (H, D/2)
-    qb_o = qb[:, 1::2].astype(jnp.float32)
+    wp_r = wp.reshape(D, H, dh)                            # (Dout, H, dh)
+    wp_t = jnp.transpose(wp_r, (1, 2, 0))                  # (H, dh, Dout)
+    wp_e = wp_t[:, :, 0::2].astype(bf)                     # (H, dh, D/2)
+    wp_o = wp_t[:, :, 1::2].astype(bf)
 
     half = np.exp(np.arange(0, D, 2, dtype=np.float64) * -(np.log(10000.0) / D))
     angles = np.arange(T, dtype=np.float64)[:, None] * half
@@ -332,7 +401,8 @@ def fold_layer_weights(
     rot_sin = jnp.asarray(np.sin(angles), bf)
     k_std = jnp.concatenate([rot_sin, rot_cos], axis=-1)   # (T, D) bf16
 
-    bq_u = (bq.reshape(H, dh) + bias_u).reshape(1, D).astype(bf)
+    bq_u = ((bq.reshape(H, dh) + bias_u).reshape(1, D) * inv).astype(jnp.float32)
+    bq_v = ((bq.reshape(H, dh) + bias_v).reshape(1, D) * inv).astype(jnp.float32)
 
     ff1g, ff1b = ln2(lp["ff1_layer_norm"])
     attg, attb = ln2(lp["self_attn_layer_norm"])
@@ -368,8 +438,8 @@ def fold_layer_weights(
         ff1_ln_g=ff1g, ff1_ln_b=ff1b, ff1_wi=ff1_wi, ff1_bi=ff1_bi,
         ff1_wo=ff1_wo, ff1_bo=ff1_bo,
         attn_ln_g=attg, attn_ln_b=attb,
-        wq=wq, bq_u=bq_u, wk=wk, bk=bk, wv=wv, bv=bv, wo=wo, bo=bo,
-        cpos_e=cpos_e, cpos_o=cpos_o, qb_e=qb_e, qb_o=qb_o,
+        wq=wq, bq_u=bq_u, bq_v=bq_v, wk=wk, bk=bk, wv=wv, bv=bv, wo=wo, bo=bo,
+        wp_e=wp_e, wp_o=wp_o,
         rot_cos=rot_cos, rot_sin=rot_sin, k_std=k_std,
         cg_ln_g=cgg, cg_ln_b=cgb, cg_w1=cg_w1, cg_b1=cg_b1,
         csgu_ln_g=csgug, csgu_ln_b=csgub,
@@ -404,11 +474,12 @@ def ebranchformer_layer(
     cfg,
     *,
     bb: int = 4,
+    t_valid: int = 0,
     interpret: bool = False,
     ablate: str = "",
 ) -> jnp.ndarray:
     """Run one fused E-Branchformer layer. T must be a multiple of 8 and B a
-    multiple of bb."""
+    multiple of bb. ``t_valid`` is the pre-padding frame count (0 => T)."""
     B, T, D = x.shape
     if B % bb:
         raise ValueError(f"B={B} must be a multiple of bb={bb}")
@@ -422,6 +493,7 @@ def ebranchformer_layer(
         eps=cfg.layer_norm_eps, hidden_act=cfg.hidden_act,
         csgu_act=cfg.csgu_activation, bb=bb, ablate=ablate,
         has_csgu_linear=cfg.csgu_use_linear_after_conv,
+        t_valid=t_valid,
     )
 
     w_list = [weights[f] for f in WEIGHT_FIELDS]
@@ -448,7 +520,7 @@ def ebranchformer_layer(
         scratch_shapes=[
             pltpu.VMEM((bb * T, D), jnp.bfloat16),  # attention head assembly
             pltpu.VMEM(                             # shared dwconv pad buffer
-                (bb, T + 2 * PAD_ALLOC, max(st.I // 2, 2 * D)), jnp.bfloat16
+                (bb, T + 2 * PAD_ALLOC, max(st.I // 2, 2 * D)), jnp.float32
             ),
         ],
         compiler_params=pltpu.CompilerParams(

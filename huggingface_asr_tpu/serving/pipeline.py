@@ -64,31 +64,53 @@ class ASRPipeline:
             frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.num_fbanks))
 
             # Fused Pallas encoder (ops/pallas_layer.py): serving-grade speed
-            # on TPU; "auto" uses it when the model/backend qualify.
+            # on TPU; "auto" uses it when the model/backend/dtype qualify.
+            # The kernel computes in bf16 and folds macaron-FF weights, so
+            # fp32 or non-macaron configs take the XLA path.
+            from huggingface_asr_tpu.ops.pallas_layer import ACT_F32
+
+            fused_ok = (
+                config.position_embeddings_type == "relative"
+                and not config.is_causal
+                and not config.finetune_with_layer_mixing
+                and not config.finetune_with_additional_layer
+                and config.use_macaron_ff
+                and config.hidden_act in ACT_F32
+                and config.csgu_activation in ACT_F32
+                and dt == jnp.bfloat16
+            )
             use_fused = fused_encoder
+            fused_interpret = use_fused == "interpret"  # test-only: CPU interpreter
+            if fused_interpret:
+                use_fused = True
             if use_fused == "auto":
-                use_fused = (
-                    jax.default_backend() == "tpu"
-                    and config.position_embeddings_type == "relative"
-                    and not config.is_causal
-                    and not config.finetune_with_layer_mixing
-                    and not config.finetune_with_additional_layer
-                    and not config.csgu_use_linear_after_conv
+                use_fused = jax.default_backend() == "tpu" and fused_ok
+            elif use_fused and not fused_ok:
+                raise ValueError(
+                    "fused_encoder=True but the model config/dtype is outside "
+                    "the fused kernel's support (needs relative positions, "
+                    "non-causal, macaron FF, bfloat16, no fine-tune adapters)"
                 )
+            self._use_fused = bool(use_fused)
             if use_fused:
                 from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused
 
-                @jax.jit
-                def run(params, wav, wav_lens):
+                # bb (batch rows per kernel program) is picked per padded
+                # batch size in __call__; jit caches one program per (B, bb).
+                @partial(jax.jit, static_argnums=(3,))
+                def run(params, wav, wav_lens, bb):
                     feats, lens = frontend(wav, wav_lens)
-                    out = ctc_infer_fused(params, config, feats, lens, bb=1)
+                    out = ctc_infer_fused(
+                        params, config, feats, lens, bb=bb,
+                        interpret=fused_interpret,
+                    )
                     return ctc_greedy_decode(
                         out.logits, out.logit_lengths, blank_id=-1
                     )
             else:
 
-                @jax.jit
-                def run(params, wav, wav_lens):
+                @partial(jax.jit, static_argnums=(3,))
+                def run(params, wav, wav_lens, bb):
                     feats, lens = frontend(wav, wav_lens)
                     out = model.apply(
                         {"params": params}, feats, lens, deterministic=True
@@ -121,6 +143,7 @@ class ASRPipeline:
                 return seqs, scores
 
             self._run = run
+            self._use_fused = False
 
     def _bucket_pad(self, audios: List[np.ndarray]) -> np.ndarray:
         max_len = max(len(a) for a in audios)
@@ -147,11 +170,27 @@ class ASRPipeline:
         audios = [np.asarray(a, np.float32) for a in inputs]
         wav = self._bucket_pad(audios)
         lens = np.asarray([len(a) for a in audios], np.int32)
+        n_real = len(audios)
 
         if self.model_type == "ctc":
             from huggingface_asr_tpu.ops.ctc import tokens_to_lists
 
-            toks, tlens = jax.device_get(self._run(self.params, wav, lens))
+            # Pick the fused kernel's batch blocking from the actual batch:
+            # pad B up to a multiple of 4/8 (zero rows decode to empty and
+            # are dropped) instead of forfeiting batch blocking at bb=1.
+            bb = 1
+            if self._use_fused and n_real > 1:
+                b_pad = 4 * -(-n_real // 4) if n_real <= 4 else 8 * -(-n_real // 8)
+                if b_pad != n_real:
+                    wav = np.concatenate(
+                        [wav, np.zeros((b_pad - n_real, wav.shape[1]), np.float32)]
+                    )
+                    lens = np.concatenate(
+                        [lens, np.zeros((b_pad - n_real,), np.int32)]
+                    )
+                bb = min(8, b_pad)
+            toks, tlens = jax.device_get(self._run(self.params, wav, lens, bb))
+            toks, tlens = toks[:n_real], tlens[:n_real]
             texts = [
                 self.tokenizer.decode(t, skip_special_tokens=True)
                 for t in tokens_to_lists(toks, tlens)

@@ -164,3 +164,85 @@ def test_early_exit_with_ctc_matches_full_scan():
     )
     np.testing.assert_array_equal(np.asarray(seqs_e), np.asarray(seqs_f))
     np.testing.assert_allclose(np.asarray(scores_e), np.asarray(scores_f), rtol=1e-6)
+
+
+def test_eos_space_trick_parity():
+    """Our candidate-set eos-space trick must reproduce the reference
+    CTCRescorerLogitsProcessor's full-vocab trick (ctc_scorer.py:333-349)
+    when the candidate set is the full vocab."""
+    import sys
+
+    torch = pytest.importorskip("torch")
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from decoding.ctc_scorer import CTCRescorerLogitsProcessor
+
+    from huggingface_asr_tpu.decoding.beam_search import (
+        apply_eos_space_trick_scores,
+    )
+
+    rng = np.random.default_rng(7)
+    B, W, V, T = 1, 2, 8, 16
+    eos, blank = 1, V - 1  # reference uses pad_token_id as the CTC blank
+    ctc_w = 0.3
+    enc_logits = torch.tensor(
+        rng.standard_normal((B, T, V)).astype(np.float32) * 2.0
+    )
+    enc_lens = torch.tensor([T], dtype=torch.long)
+    input_ids = torch.zeros((B * W, 1), dtype=torch.long)
+
+    def make_ref(trick_on, space_id, weight):
+        return CTCRescorerLogitsProcessor(
+            enc_logits.clone(), enc_lens.clone(), blank, eos, 0, ctc_w, W,
+            space_id, trick_on, weight,
+        )
+
+    # probe: recover the scorer's per-row CTC scores to engineer the conflict
+    flat_att = torch.log_softmax(
+        torch.tensor(rng.standard_normal((B * W, V)).astype(np.float32)),
+        dim=-1,
+    )
+    probe = make_ref(False, 0, 1.0)
+    probe_out = probe(input_ids, flat_att.clone())
+    logzero = probe.ctc_prefix_scorer.logzero
+    att_sup = flat_att.clone()
+    att_sup[:, blank] = logzero
+    ctc_scores = (probe_out - (1 - ctc_w) * att_sup) / ctc_w
+    space_id = int(ctc_scores[0].argmax())
+    assert space_id != eos, "pick another seed: ctc argmax collides with eos"
+
+    # engineer att: argmax is EOS, but by a margin small enough that CTC's
+    # preference for space flips the mixture
+    ctc_gap = float(ctc_scores[0, space_id] - ctc_scores[0, eos])
+    assert ctc_gap > 0
+    att_gap = 0.5 * ctc_w / (1 - ctc_w) * ctc_gap
+    att = torch.full((B * W, V), -3.0)
+    att[:, eos] = -3.0 + att_gap
+    att = torch.log_softmax(att, dim=-1)
+    att_s = att.clone()
+    att_s[:, blank] = logzero
+    comb = (1 - ctc_w) * att_s + ctc_w * ctc_scores
+    c_eos, c_space = float(comb[0, eos]), float(comb[0, space_id])
+    assert c_eos < c_space < 0
+    weight = 0.9 * c_space / c_eos
+    assert 0 < weight < 1
+
+    out_on = make_ref(True, space_id, weight)(input_ids, att.clone())
+    out_off = make_ref(False, space_id, weight)(input_ids, att.clone())
+    fired_rows = (out_on != out_off).any(dim=1)
+    assert bool(fired_rows[0]), "trick must fire in the engineered row"
+
+    # our formulation on the same numbers, candidate set = full vocab
+    cand_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B * W, V))
+    got = apply_eos_space_trick_scores(
+        jnp.asarray(out_off.numpy()),
+        cand_ids,
+        jnp.asarray(att_s.numpy()),
+        jnp.asarray(ctc_scores.numpy()),
+        eos_token_id=eos,
+        space_token_id=space_id,
+        weight=float(weight),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), out_on.numpy(), rtol=1e-5, atol=1e-5
+    )

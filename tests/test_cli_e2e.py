@@ -182,3 +182,23 @@ def test_evaluate_and_serving_from_saved_checkpoint(tiny_corpus, tokenizer_dir, 
     assert isinstance(text, str)
     texts = pipe([rng.standard_normal(5000).astype(np.float32) * 0.1] * 2)
     assert isinstance(texts, list) and len(texts) == 2
+
+    # ---- fused Pallas serving path (interpret mode) at B=8 with bb>1
+    # must transcribe identically to the XLA path.
+    pipe_bf = ASRPipeline(
+        final, tokenizer_dir=tokenizer_dir, model_type="ctc",
+        dtype="bfloat16", length_buckets=(0.5, 1.0),
+    )
+    pipe_fused = ASRPipeline(
+        final, tokenizer_dir=tokenizer_dir, model_type="ctc",
+        dtype="bfloat16", length_buckets=(0.5, 1.0),
+        fused_encoder="interpret",
+    )
+    batch = [
+        rng.standard_normal(4000 + 500 * i).astype(np.float32) * 0.1
+        for i in range(8)
+    ]
+    ref_texts = pipe_bf(batch)
+    fused_texts = pipe_fused(batch)
+    assert pipe_fused._use_fused and not pipe_bf._use_fused
+    assert fused_texts == ref_texts

@@ -37,3 +37,42 @@ def test_pallas_mel_utterance_cmvn():
 
 def test_pallas_mel_no_norm():
     _run("none")
+
+
+def test_pallas_mel_hop_row_layout_matches_flat():
+    """The (B, rows, hop) fast-path layout must equal the (B, S) path."""
+    cfg = LogMelConfig()
+    fused = PallasLogMelFrontEnd(cfg, interpret=True)
+    rng = np.random.default_rng(1)
+    B, S = 2, 16000 * 2
+    wav = rng.standard_normal((B, S)).astype(np.float32) * 0.1
+    lens = jnp.asarray([S, S - 4000], jnp.int32)
+
+    f_flat, l_flat = fused(jnp.asarray(wav), lens)
+
+    rows = fused.rows_alloc(S)
+    hop = cfg.hop_length
+    padded = np.zeros((B, rows * hop), np.float32)
+    padded[:, :S] = wav
+    f_rows, l_rows = fused(
+        jnp.asarray(padded.reshape(B, rows, hop)), lens, num_samples=S
+    )
+    np.testing.assert_array_equal(np.asarray(l_flat), np.asarray(l_rows))
+    np.testing.assert_allclose(
+        np.asarray(f_rows), np.asarray(f_flat), rtol=0, atol=0
+    )
+
+
+def test_pallas_mel_high_precision_close_to_highest():
+    """Manual 3-pass 'high' mode stays within ~1e-2 of the fp32 features
+    (bf16 hi/lo split drops only the lo*lo term)."""
+    cfg_hi = LogMelConfig()
+    cfg_h = LogMelConfig(matmul_precision="high")
+    rng = np.random.default_rng(2)
+    B, S = 2, 16000
+    wav = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+    f_ref, _ = PallasLogMelFrontEnd(cfg_hi, interpret=True)(wav)
+    f_got, _ = PallasLogMelFrontEnd(cfg_h, interpret=True)(wav)
+    np.testing.assert_allclose(
+        np.asarray(f_got), np.asarray(f_ref), rtol=0, atol=2e-2
+    )

@@ -67,3 +67,63 @@ def test_load_actual_reference_config():
     )
     assert plan.speed_perturbation is not None
     assert plan.spec_augment is not None and plan.spec_augment.num_freq_mask == 2
+
+
+class _TimesN:
+    """Importable custom transform used by the dotted-path test."""
+
+    def __init__(self, n=2.0):
+        self.n = n
+
+    def __call__(self, audio, offset=0.0):
+        return (audio * self.n + offset, "extra")
+
+
+def test_custom_dotted_transform_runs_in_chain(tmp_path):
+    """Arbitrary dotted import paths resolve and run host-side in order,
+    with fn_call_params, return_behaviour extraction and delayed start
+    (reference callbacks.py:86-89 + general_utils.py:34-60)."""
+    cfg = {
+        "train": [
+            {"name": f"{__name__}._TimesN", "params": {"n": 3.0},
+             "steps_before_activation": 0,
+             "fn_call_params": {"offset": 1.0}, "return_behaviour": [0]},
+            {"name": f"{__name__}._TimesN", "params": {"n": 10.0},
+             "steps_before_activation": 5,
+             "fn_call_params": {}, "return_behaviour": [0]},
+        ]
+    }
+    path = tmp_path / "prep.json"
+    path.write_text(json.dumps(cfg))
+    plan = load_preprocessing_config(str(path))
+    chain = plan.audio_transform
+    assert chain is not None and len(chain) == 2
+
+    x = np.ones(4, np.float32)
+    # step 0: only the first stage is active
+    np.testing.assert_allclose(chain(x), x * 3.0 + 1.0)
+    # past the delay, the second stage joins the chain
+    chain.set_step(5)
+    np.testing.assert_allclose(chain(x), (x * 3.0 + 1.0) * 10.0)
+    # advance_batch counts toward the same schedule
+    chain.set_step(4)
+    np.testing.assert_allclose(chain(x), x * 3.0 + 1.0)
+    chain.advance_batch()
+    np.testing.assert_allclose(chain(x), (x * 3.0 + 1.0) * 10.0)
+
+
+def test_unknown_transform_raises(tmp_path):
+    """A typo'd name must fail loudly, not silently vanish."""
+    import pytest
+
+    bad = {"train": [{"name": "SpekAug", "params": {}}]}
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="unknown preprocessing transform"):
+        load_preprocessing_config(str(path))
+
+    missing = {"train": [{"name": "nonexistent_pkg.Thing", "params": {}}]}
+    path2 = tmp_path / "bad2.json"
+    path2.write_text(json.dumps(missing))
+    with pytest.raises(ValueError, match="not importable"):
+        load_preprocessing_config(str(path2))

@@ -1,0 +1,81 @@
+"""Front-end-only microbench: XLA vs Pallas log-mel at each matmul precision.
+
+Times just `frontend(waveforms, lengths)` on the bench workload (B=128, 10 s)
+and reports parity of the Pallas kernel against the XLA-highest reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--variants", default="xla:highest,xla:high,pallas:highest,pallas:high")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
+
+    B, sec = args.batch, args.seconds
+    S = int(16000 * sec)
+    rng = np.random.default_rng(0)
+    waves = [
+        jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+        for _ in range(args.iters)
+    ]
+    wl = jnp.full((B,), S, jnp.int32)
+
+    ref_feats = None
+    for spec in args.variants.split(","):
+        kind, prec = spec.split(":")
+        cfg = LogMelConfig(matmul_precision=prec)
+        if kind == "pallas":
+            from huggingface_asr_tpu.ops.pallas_features import PallasLogMelFrontEnd
+
+            fe = PallasLogMelFrontEnd(cfg)
+        else:
+            fe = LogMelFrontEnd(cfg)
+
+        @jax.jit
+        def run(wav):
+            f, fl = fe(wav, wl)
+            return f, fl
+
+        try:
+            f0, _ = run(waves[0])
+            f0.block_until_ready()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"variant": spec, "error": repr(e)[:500]}), flush=True)
+            continue
+        if spec == "xla:highest":
+            ref_feats = np.asarray(f0, np.float32)
+        t0 = time.perf_counter()
+        outs = [run(w)[0] for w in waves]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / args.iters
+        rec = {"variant": spec, "ms": round(dt * 1e3, 2),
+               "rtfx": round(B * sec / dt, 1)}
+        if ref_feats is not None and spec != "xla:highest":
+            d = np.abs(np.asarray(f0, np.float32) - ref_feats)
+            rec["max_abs_diff_vs_xla_highest"] = float(d.max())
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

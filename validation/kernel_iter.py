@@ -1,0 +1,93 @@
+"""Single-layer kernel iteration harness: time ONE fused layer on chip.
+
+Much faster compiles than the full 12-layer pipeline — use for kernel
+optimization loops and ablation attribution.
+
+  python validation/kernel_iter.py --bb 8 --ablate no_attn
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--T", type=int, default=256)
+    ap.add_argument("--bb", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--ablate", default="",
+                    help="comma-of-semicolon list: each ';'-separated entry "
+                         "is one variant benchmarked in sequence")
+    ap.add_argument("--layers", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from huggingface_asr_tpu.models.configs import EBranchformerConfig
+    from huggingface_asr_tpu.models.ebranchformer import EBranchformerForCTC
+    from huggingface_asr_tpu.ops.pallas_layer import (
+        ebranchformer_layer,
+        fold_layer_weights,
+    )
+
+    config = EBranchformerConfig(
+        hidden_size=256, num_hidden_layers=1, num_attention_heads=8,
+        intermediate_size=1024, conv_dim=(256, 256), conv_kernel=(3, 3),
+        conv_stride=(2, 2), conv_padding=(1, 1), vocab_size=500,
+    )
+    B, T = args.batch, args.T
+    model = EBranchformerForCTC(config, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((1, 4 * T, 80)), jnp.float32)
+    params = model.init(
+        jax.random.key(0), feats, jnp.asarray([4 * T], jnp.int32)
+    )["params"]
+    folded = fold_layer_weights(
+        params["wav2vec2"]["encoder"]["layers_0"], config, T
+    )
+    lens = jnp.full((B,), T, jnp.int32)
+
+    xs = [
+        jnp.asarray(
+            rng.standard_normal((B, T, 256)).astype(np.float32), jnp.bfloat16
+        )
+        for _ in range(args.iters)
+    ]
+
+    for ablate in args.ablate.split(";"):
+
+        @partial(jax.jit, static_argnums=(1,))
+        def run(x, ab):
+            for _ in range(args.layers):
+                x = ebranchformer_layer(
+                    x, lens, folded, config, bb=args.bb, ablate=ab
+                )
+            return x
+
+        run(xs[0], ablate).block_until_ready()
+        t0 = time.perf_counter()
+        outs = [run(x, ablate) for x in xs]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / args.iters / args.layers
+        print(json.dumps({
+            "ablate": ablate, "bb": args.bb, "B": B, "T": T,
+            "ms_per_layer": round(dt * 1e3, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
