@@ -14,6 +14,7 @@ import logging
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from huggingface_asr_tpu.cli.common import (
@@ -99,6 +100,13 @@ def main(argv=None):
         with open(model_args.model_config) as f:
             config = EBranchformerConfig.from_dict(json.load(f))
         config = dataclasses.replace(config, vocab_size=ids["vocab_size"])
+    elif model_args.from_pretrained:
+        # architecture from the checkpoint (possibly an SSL pretrain one),
+        # vocab from the fine-tune tokenizer
+        from huggingface_asr_tpu.training.model_factory import load_config
+
+        config = load_config(model_args.from_pretrained, EBranchformerConfig)
+        config = dataclasses.replace(config, vocab_size=ids["vocab_size"])
     else:
         config = EBranchformerConfig(vocab_size=ids["vocab_size"])
     if model_args.config_overrides:
@@ -112,6 +120,13 @@ def main(argv=None):
         from_hf_checkpoint=model_args.from_hf_checkpoint,
         dtype=dtype,
     )
+    # SSL (pretrain.py) checkpoint: encoder-only initialization — fresh CTC
+    # head over the pretrained encoder (reference fine-tune flow,
+    # bestrq.py:191-322 / pretrain.py:21-88).
+    encoder_init = None
+    if params is not None and "lm_head" not in params:
+        encoder_init = params["wav2vec2"]
+        params = None
 
     frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.num_fbanks))
     trainer_cfg = build_trainer_config(training)
@@ -160,6 +175,13 @@ def main(argv=None):
         state = trainer.make_state(params)
     else:
         state = trainer.init_state(example)
+        if encoder_init is not None:
+            merged = dict(state.params)
+            merged["wav2vec2"] = jax.tree.map(
+                lambda s, p: jnp.asarray(p, s.dtype), state.params["wav2vec2"],
+                encoder_init,
+            )
+            state = trainer.make_state(merged)
     if training.restart_from:
         state = trainer.restore_checkpoint(state, None)
     if hasattr(speed_perturb, "set_step"):

@@ -30,25 +30,39 @@ WORDS = (
 ).split()
 
 
-def _char_freqs(idx: int) -> tuple[float, float]:
-    """Unique (f1, f2) formant pair per character."""
-    return 400.0 + 95.0 * (idx % 9), 1500.0 + 240.0 * (idx // 9)
+def _char_freqs(idx: int, spacing: float = 1.0) -> tuple[float, float]:
+    """Unique (f1, f2) formant pair per character. ``spacing < 1`` squeezes
+    the grid so neighboring characters become acoustically confusable."""
+    return (
+        400.0 + 95.0 * spacing * (idx % 9),
+        1500.0 + 240.0 * spacing * (idx // 9),
+    )
 
 
 def render_utterance(
-    text: str, rng: np.random.Generator, noise: float = 0.02
+    text: str,
+    rng: np.random.Generator,
+    noise: float = 0.02,
+    *,
+    freq_spacing: float = 1.0,
+    speed_range: tuple[float, float] = (1.0, 1.0),
 ) -> np.ndarray:
-    """Render text to a float32 waveform. Spaces become short near-silence."""
+    """Render text to a float32 waveform. Spaces become short near-silence.
+
+    ``freq_spacing`` and ``speed_range`` are the hardening knobs (see
+    ``build_corpus(hard=True)``): squeezed formants + per-utterance speed.
+    """
     pieces = []
     gain = float(rng.uniform(0.5, 1.0))
+    speed = float(rng.uniform(*speed_range))
     for ch in text:
-        dur = _BASE_DUR * float(rng.uniform(0.8, 1.25))
+        dur = _BASE_DUR / speed * float(rng.uniform(0.8, 1.25))
         n = max(int(dur * SAMPLE_RATE), 64)
         t = np.arange(n) / SAMPLE_RATE
         if ch == " ":
             seg = np.zeros(n, np.float32)
         else:
-            f1, f2 = _char_freqs(CHARS.index(ch))
+            f1, f2 = _char_freqs(CHARS.index(ch), freq_spacing)
             phase1, phase2 = rng.uniform(0, 2 * np.pi, 2)
             seg = 0.6 * np.sin(2 * np.pi * f1 * t + phase1) + 0.4 * np.sin(
                 2 * np.pi * f2 * t + phase2
@@ -60,9 +74,23 @@ def render_utterance(
     return wav.astype(np.float32)
 
 
-def sample_sentence(rng: np.random.Generator, min_words: int = 2, max_words: int = 5) -> str:
+# Confusable-by-one-character word pairs for the hardened corpus: argmax
+# near-ties between these make WER > 0 discriminative for parity (the two
+# stacks must agree on the ERRORS, not just on clean transcripts).
+CONFUSABLE_WORDS = (
+    "fox fax box bog dog dig dug map mop cap cop code mode node note "
+    "sound bound found text test best rest fast last list fist"
+).split()
+
+
+def sample_sentence(
+    rng: np.random.Generator,
+    min_words: int = 2,
+    max_words: int = 5,
+    vocab=None,
+) -> str:
     n = int(rng.integers(min_words, max_words + 1))
-    return " ".join(rng.choice(WORDS, size=n))
+    return " ".join(rng.choice(vocab if vocab is not None else WORDS, size=n))
 
 
 def build_corpus(
@@ -71,18 +99,35 @@ def build_corpus(
     n_eval: int = 32,
     seed: int = 0,
     noise: float = 0.02,
+    hard: bool = False,
 ):
     """Build and save a DatasetDict in the corpus schema the CLIs consume
-    (audio / text / input_len). Eval splits use held-out sentences."""
+    (audio / text / input_len). Eval splits use held-out sentences.
+
+    ``hard=True`` produces a discriminative corpus (VERDICT r2 weak #3):
+    6x the additive noise, squeezed formant spacing (confusable characters),
+    per-utterance speed in [0.8, 1.3], and a vocabulary extended with
+    minimal-pair words — trained models plateau at WER > 0, so transcript
+    parity must agree on errors, not just on clean outputs.
+    """
     import datasets
 
     rng = np.random.default_rng(seed)
+    render_kw = {"noise": noise}
+    vocab = None
+    if hard:
+        render_kw = {
+            "noise": max(noise, 0.12),
+            "freq_spacing": 0.45,
+            "speed_range": (0.8, 1.3),
+        }
+        vocab = WORDS + CONFUSABLE_WORDS
 
     def make(n, tag):
         rows = {"audio": [], "text": [], "input_len": []}
         for _ in range(n):
-            text = sample_sentence(rng)
-            wav = render_utterance(text, rng, noise=noise)
+            text = sample_sentence(rng, vocab=vocab)
+            wav = render_utterance(text, rng, **render_kw)
             rows["audio"].append(wav)
             rows["text"].append(text)
             rows["input_len"].append(len(wav) / SAMPLE_RATE)

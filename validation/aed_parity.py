@@ -1,0 +1,320 @@
+"""Joint CTC+attention beam-search transcript parity vs the torch reference.
+
+The flagship decode path — joint rescored beam search (reference:
+src/models/ctc_encoder_plus_autoregressive_decoder.py:450-482 generate() +
+src/decoding/ctc_scorer.py:259-354) — validated END TO END on trained
+weights (VERDICT r2, missing #1):
+
+(1) train a tiny DeCRED through the REAL CLI (tokenizer → train_aed) on the
+    HARDENED synthetic corpus (noise/speed/confusable vocab — WER > 0, so
+    both stacks must agree on errors),
+(2) export the checkpoint to the torch reference classes (export_joint),
+(3) decode the held-out test set with BOTH stacks' beam search at the
+    released decode config (num_beams=5, ctc_weight=0.3, ctc_margin=0 —
+    hf_shared_models/DeCRED_base.py:20-23),
+(4) compare transcripts sequence-for-sequence; write a "joint_beam" section
+    into validation/wer_parity_report.json.
+
+Run:  python validation/aed_parity.py --work_dir /tmp/aed_val [--steps 4000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+ENC_CFG = {
+    "hidden_size": 128, "num_hidden_layers": 4, "num_attention_heads": 4,
+    "intermediate_size": 512, "conv_dim": [64, 64], "conv_kernel": [3, 3],
+    "conv_stride": [2, 2], "conv_padding": [1, 1],
+    "hidden_dropout": 0.1, "attention_dropout": 0.1,
+}
+DEC_CFG = {
+    "n_embd": 128, "n_layer": 2, "n_head": 4, "n_positions": 64,
+    "head_locations": [], "head_weights": [1.0],
+    "resid_pdrop": 0.1, "embd_pdrop": 0.1, "attn_pdrop": 0.1,
+}
+NUM_BEAMS = 5
+CTC_WEIGHT = 0.3
+MAX_LEN = 48
+
+
+def build(work, n_train, n_eval, vocab):
+    from huggingface_asr_tpu.cli.train_tokenizer import main as tok_main
+    from huggingface_asr_tpu.data.synthetic_speech import build_corpus
+
+    ds_dir = os.path.join(work, "ds")
+    if not os.path.exists(ds_dir):
+        build_corpus(ds_dir, n_train=n_train, n_eval=n_eval, seed=0, hard=True)
+    tok_dir = os.path.join(work, "tok")
+    if not os.path.exists(os.path.join(tok_dir, "tokenizer_config.json")):
+        tok_main([
+            "--dataset_name", ds_dir, "--load_from_disk", "--no-do_resample",
+            "--tokenizer_type", "unigram", "--vocab_size", str(vocab),
+            "--tokenizer_output_dir", tok_dir,
+        ])
+    return ds_dir, tok_dir
+
+
+def train(work, ds_dir, tok_dir, steps, batch):
+    from huggingface_asr_tpu.cli.train_aed import main as aed_main
+
+    out = os.path.join(work, "aed")
+    cfg_path = os.path.join(work, "joint.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"encoder": ENC_CFG, "decoder": DEC_CFG}, f)
+    aed_main([
+        "--dataset_name", ds_dir, "--load_from_disk", "--no-do_resample",
+        "--tokenizer_name", tok_dir, "--model_config", cfg_path,
+        "--dtype", "float32", "--output_dir", out,
+        "--per_device_train_batch_size", str(batch),
+        "--per_device_eval_batch_size", str(batch),
+        "--max_steps", str(steps), "--logging_steps", "100",
+        "--eval_steps", str(max(steps // 4, 1)), "--save_steps", str(steps),
+        "--warmup_steps", str(min(500, steps // 5)),
+        "--learning_rate", "2e-3", "--ctc_weight", str(CTC_WEIGHT),
+        "--num_beams", str(NUM_BEAMS), "--max_length", str(MAX_LEN),
+        "--num_candidates", "32",
+        "--max_duration_in_seconds", "6", "--pad_to_multiple", "100",
+    ])
+    return out
+
+
+def _load(work):
+    from huggingface_asr_tpu.models.joint_ctc_aed import JointCTCAttentionConfig
+    from huggingface_asr_tpu.training.model_factory import load_config, load_params
+
+    final = os.path.join(work, "aed", "final")
+    return load_config(final, JointCTCAttentionConfig), load_params(final)
+
+
+def _test_batch(ds_dir):
+    import datasets
+
+    dd = datasets.load_from_disk(ds_dir)["test"]
+    wavs = [np.asarray(ex["audio"], np.float32) for ex in dd]
+    refs = [ex["text"] for ex in dd]
+    S = max(len(w) for w in wavs)
+    batchw = np.zeros((len(wavs), S), np.float32)
+    for i, wv in enumerate(wavs):
+        batchw[i, : len(wv)] = wv
+    lens = np.asarray([len(w) for w in wavs], np.int32)
+    return batchw, lens, refs
+
+
+def ours_decode(work, ds_dir, tok_dir):
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from huggingface_asr_tpu.cli.common import tokenizer_ids
+    from huggingface_asr_tpu.cli.common import load_tokenizer
+    from huggingface_asr_tpu.decoding.beam_search import BeamSearchConfig
+    from huggingface_asr_tpu.decoding.generate import generate_joint
+    from huggingface_asr_tpu.models.joint_ctc_aed import JointCTCAttentionEncoderDecoder
+    from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
+
+    config, params = _load(work)
+    tok = load_tokenizer(tok_dir)
+    ids = tokenizer_ids(tok)
+    model = JointCTCAttentionEncoderDecoder(config)  # fp32, as trained
+    frontend = LogMelFrontEnd(LogMelConfig())
+
+    batchw, lens, refs = _test_batch(ds_dir)
+    feats, flens = frontend(jnp.asarray(batchw), jnp.asarray(lens))
+    cfg = BeamSearchConfig(
+        num_beams=NUM_BEAMS, max_length=MAX_LEN, ctc_weight=CTC_WEIGHT,
+        num_candidates=32, bos_token_id=ids["bos"], eos_token_id=ids["eos"],
+        pad_token_id=ids["pad"],
+    )
+    t0 = time.perf_counter()
+    seqs, scores = generate_joint(model, params, feats, flens, cfg)
+    seqs = np.asarray(seqs)
+    dt = time.perf_counter() - t0
+    hyps = [
+        tok.decode([int(t) for t in row[0]], skip_special_tokens=True)
+        for row in seqs
+    ]
+    return hyps, refs, dt, float(np.sum(lens) / 16000.0)
+
+
+def reference_decode(work, ds_dir, tok_dir):
+    import torch
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from decoding.config import GenerationConfigCustom
+    from models.ctc_encoder_plus_autoregressive_decoder import (
+        JointCTCAttentionEncoderDecoder as RefJoint,
+        JointCTCAttentionEncoderDecoderConfig as RefJointConfig,
+    )
+    from models.decoders.multi_head_gpt2 import (
+        GPT2LMMultiHeadModel,
+        GPT2MultiHeadConfig,
+    )
+    from models.encoders.e_branchformer import (
+        Wav2Vec2EBranchformerConfig,
+        Wav2Vec2EBranchformerForCTC,
+    )
+
+    from huggingface_asr_tpu.cli.common import load_tokenizer, tokenizer_ids
+    from huggingface_asr_tpu.interop.export_hf import export_joint
+    from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
+
+    config, params = _load(work)
+    enc_c, dec_c = config.encoder, config.decoder
+    tok = load_tokenizer(tok_dir)
+    ids = tokenizer_ids(tok)
+
+    hf_enc_cfg = Wav2Vec2EBranchformerConfig(
+        hidden_size=enc_c.hidden_size,
+        num_hidden_layers=enc_c.num_hidden_layers,
+        num_attention_heads=enc_c.num_attention_heads,
+        intermediate_size=enc_c.intermediate_size,
+        conv_dim=list(enc_c.conv_dim), conv_kernel=list(enc_c.conv_kernel),
+        conv_stride=list(enc_c.conv_stride), conv_padding=tuple(enc_c.conv_padding),
+        num_fbanks=80, num_mel_bins=80, vocab_size=enc_c.vocab_size,
+        use_fbanks=True, second_dim_input_size=80, apply_spec_augment=False,
+        num_feat_extract_layers=len(enc_c.conv_dim),
+        attn_implementation="eager",
+        position_embeddings_type=enc_c.position_embeddings_type,
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, final_dropout=0.0, layerdrop=0.0,
+        ebranchformer_conv_dropout=0.0, pad_token_id=ids["pad"],
+    )
+    hf_dec_cfg = GPT2MultiHeadConfig(
+        vocab_size=dec_c.vocab_size, n_positions=dec_c.n_positions,
+        n_embd=dec_c.n_embd, n_layer=dec_c.n_layer, n_head=dec_c.n_head,
+        n_inner=dec_c.n_inner, add_cross_attention=True,
+        head_locations=list(dec_c.head_locations),
+        head_weights=list(dec_c.head_weights),
+        average_logits=dec_c.average_logits, lsm_factor=0.0,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+        bos_token_id=ids["bos"], eos_token_id=ids["eos"],
+        pad_token_id=ids["pad"],
+    )
+    enc = Wav2Vec2EBranchformerForCTC(hf_enc_cfg)
+    dec = GPT2LMMultiHeadModel(hf_dec_cfg)
+    joint_cfg = RefJointConfig.from_encoder_decoder_configs(hf_enc_cfg, hf_dec_cfg)
+    joint_cfg.ctc_weight = CTC_WEIGHT
+    joint_cfg.shared_lm_head = False
+    ref = RefJoint(config=joint_cfg, encoder=enc, decoder=dec)
+
+    sd = export_joint(params, enc_c, dec_c)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, strict=False
+    )
+    real_missing = [m for m in missing if "masked_spec_embed" not in m]
+    assert not real_missing, f"missing keys: {real_missing[:8]}"
+    assert not unexpected, f"unexpected keys: {unexpected[:8]}"
+    ref.eval()
+
+    gen_cfg = GenerationConfigCustom(
+        num_beams=NUM_BEAMS, ctc_weight=CTC_WEIGHT, ctc_margin=0,
+        max_length=MAX_LEN, bos_token_id=ids["bos"], eos_token_id=ids["eos"],
+        pad_token_id=ids["pad"], decoder_start_token_id=ids["bos"],
+        early_stopping=False, length_penalty=1.0, do_sample=False,
+    )
+
+    frontend = LogMelFrontEnd(LogMelConfig())
+    batchw, lens, refs = _test_batch(ds_dir)
+    feats, flens = frontend(jnp.asarray(batchw), jnp.asarray(lens))
+    feats = np.asarray(feats)
+    flens = np.asarray(flens)
+
+    hyps, dec_sec = [], 0.0
+    bs = 8
+    for i in range(0, len(refs), bs):
+        f = torch.tensor(feats[i : i + bs])
+        fl = flens[i : i + bs]
+        # frame-level attention mask (reference derives encoder lengths from
+        # attention_mask.sum, ctc_encoder_plus_autoregressive_decoder.py:461)
+        mask = torch.zeros(f.shape[:2], dtype=torch.long)
+        for j, n in enumerate(fl):
+            mask[j, : int(n)] = 1
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            out = ref.generate(
+                inputs=f, attention_mask=mask, generation_config=gen_cfg
+            )
+        dec_sec += time.perf_counter() - t0
+        for row in out:
+            hyps.append(tok.decode([int(t) for t in row], skip_special_tokens=True))
+    return hyps, dec_sec
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work_dir", default="/tmp/aed_val")
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--n_train", type=int, default=1024)
+    ap.add_argument("--n_eval", type=int, default=64)
+    ap.add_argument("--vocab", type=int, default=40)
+    ap.add_argument("--skip_train", action="store_true")
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    ds_dir, tok_dir = build(args.work_dir, args.n_train, args.n_eval, args.vocab)
+    if not (args.skip_train and os.path.exists(os.path.join(args.work_dir, "aed", "final"))):
+        train(args.work_dir, ds_dir, tok_dir, args.steps, args.batch)
+
+    our_hyps, refs, our_sec, audio_sec = ours_decode(args.work_dir, ds_dir, tok_dir)
+    ref_hyps, ref_sec = reference_decode(args.work_dir, ds_dir, tok_dir)
+
+    from huggingface_asr_tpu.utils.metrics import wer as wer_fn
+
+    our_wer = wer_fn(refs, our_hyps)
+    ref_wer = wer_fn(refs, ref_hyps)
+    n_match = sum(a.strip() == b.strip() for a, b in zip(our_hyps, ref_hyps))
+    mismatches = [
+        {"ref": r, "ours": a, "torch": b}
+        for r, a, b in zip(refs, our_hyps, ref_hyps)
+        if a.strip() != b.strip()
+    ]
+
+    report = {
+        "decode_config": {
+            "num_beams": NUM_BEAMS, "ctc_weight": CTC_WEIGHT,
+            "ctc_margin": 0, "max_length": MAX_LEN,
+        },
+        "test_utterances": len(refs),
+        "our_wer": round(float(our_wer), 4),
+        "reference_wer_on_exported_ckpt": round(float(ref_wer), 4),
+        "wer_delta": round(float(our_wer - ref_wer), 4),
+        "identical_transcripts": f"{n_match}/{len(refs)}",
+        "mismatches": mismatches[:10],
+        "reference_torch_cpu_beam_rtfx": round(audio_sec / ref_sec, 2),
+        "our_beam_decode_sec_incl_compile": round(our_sec, 2),
+    }
+    with open(os.path.join(args.work_dir, "aed_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    # merge into the repo-level parity report (VERDICT r2: "joint-path
+    # fields in wer_parity_report.json")
+    repo_report = os.path.join(REPO, "validation", "wer_parity_report.json")
+    merged = {}
+    if os.path.exists(repo_report):
+        with open(repo_report) as f:
+            merged = json.load(f)
+    merged["joint_beam"] = report
+    with open(repo_report, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()

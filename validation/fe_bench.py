@@ -18,6 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+import jax.numpy as jnp  # noqa: E402  (after path setup)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -57,6 +59,13 @@ def main():
             f, fl = fe(wav, wl)
             return f, fl
 
+        # scalar-fetch variant for timing: on the axon transport,
+        # block_until_ready does not reliably wait; a value fetch does
+        @jax.jit
+        def run_s(wav):
+            f, fl = fe(wav, wl)
+            return jnp.sum(f)
+
         try:
             f0, _ = run(waves[0])
             f0.block_until_ready()
@@ -65,9 +74,11 @@ def main():
             continue
         if spec == "xla:highest":
             ref_feats = np.asarray(f0, np.float32)
+        float(run_s(waves[0]))
         t0 = time.perf_counter()
-        outs = [run(w)[0] for w in waves]
-        jax.block_until_ready(outs)
+        outs = [run_s(w) for w in waves]
+        for o in outs:
+            float(o)
         dt = (time.perf_counter() - t0) / args.iters
         rec = {"variant": spec, "ms": round(dt * 1e3, 2),
                "rtfx": round(B * sec / dt, 1)}

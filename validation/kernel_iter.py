@@ -70,18 +70,22 @@ def main():
 
     for ablate in args.ablate.split(";"):
 
+        # NOTE: return a scalar and fetch it with float() — on the axon
+        # transport, block_until_ready on a device array does not reliably
+        # wait for execution; a value fetch does.
         @partial(jax.jit, static_argnums=(1,))
         def run(x, ab):
             for _ in range(args.layers):
                 x = ebranchformer_layer(
                     x, lens, folded, config, bb=args.bb, ablate=ab
                 )
-            return x
+            return jnp.sum(x.astype(jnp.float32))
 
-        run(xs[0], ablate).block_until_ready()
+        float(run(xs[0], ablate))
         t0 = time.perf_counter()
         outs = [run(x, ablate) for x in xs]
-        jax.block_until_ready(outs)
+        for o in outs:
+            float(o)
         dt = (time.perf_counter() - t0) / args.iters / args.layers
         print(json.dumps({
             "ablate": ablate, "bb": args.bb, "B": B, "T": T,
