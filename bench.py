@@ -36,6 +36,28 @@ def _anchors() -> tuple:
     return float(d["a100_rtfx_roofline"]), float(d["a100_rtfx_anchor"])
 
 
+def _host_feed_rtfx(B: int, seconds: float, iters: int = 4) -> float:
+    """Sustained host input-pipeline rate for the bench workload: raw audio
+    examples → C++-collated padded batch (data/native_collate.py), the work
+    the host must do per batch to feed the chips. Backs the 8-chip pod
+    extrapolation with a measured number (audio-sec/sec)."""
+    from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
+
+    S = int(16000 * seconds)
+    rng = np.random.default_rng(1)
+    examples = [
+        {"audio": rng.standard_normal(S).astype(np.float32) * 0.1}
+        for _ in range(B)
+    ]
+    collator = SpeechCollator(CollatorConfig())
+    collator(examples)  # warm (lazy cc compile of native collate)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        collator(examples)
+    dt = (time.perf_counter() - t0) / iters
+    return B * seconds / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -44,7 +66,8 @@ def main():
     from huggingface_asr_tpu.models.ebranchformer import EBranchformerForCTC
     from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused
     from huggingface_asr_tpu.ops.ctc import ctc_greedy_decode
-    from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
+    from huggingface_asr_tpu.ops.features import LogMelConfig
+    from huggingface_asr_tpu.ops.pallas_features import PallasLogMelFrontEnd
 
     config = EBranchformerConfig(
         hidden_size=256,
@@ -58,7 +81,7 @@ def main():
         vocab_size=500,
     )
     model = EBranchformerForCTC(config, dtype=jnp.bfloat16)
-    frontend = LogMelFrontEnd(LogMelConfig())
+    frontend = PallasLogMelFrontEnd(LogMelConfig())
 
     B = 128
     seconds = 10.0
@@ -66,20 +89,25 @@ def main():
 
     rng = np.random.default_rng(0)
     iters = 5
+    # Waveforms enter in the hop-row layout (a free host-side np.reshape of
+    # the padded buffer — see PallasLogMelFrontEnd.rows_alloc); this removes
+    # the on-device pad+reshape relayout from the front end.
+    rows, hop = frontend.rows_alloc(S), 160
     # Distinct inputs per iteration + a scalar host fetch each step: robust
     # against any transport-level result caching / lazy sync.
-    batches = [
-        jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
-        for _ in range(iters)
-    ]
+    batches = []
+    for _ in range(iters):
+        w = np.zeros((B, rows * hop), np.float32)
+        w[:, :S] = rng.standard_normal((B, S)).astype(np.float32) * 0.1
+        batches.append(jnp.asarray(w.reshape(B, rows, hop)))
     wave_lengths = jnp.full((B,), S, jnp.int32)
 
-    feats0, feat_lens0 = frontend(batches[0][:1], wave_lengths[:1])
+    feats0, feat_lens0 = frontend(batches[0][:1], wave_lengths[:1], num_samples=S)
     params = model.init(jax.random.key(0), feats0, feat_lens0)["params"]
 
     @jax.jit
     def pipeline(params, waveforms, wave_lengths):
-        feats, feat_lens = frontend(waveforms, wave_lengths)
+        feats, feat_lens = frontend(waveforms, wave_lengths, num_samples=S)
         out = ctc_infer_fused(params, config, feats, feat_lens, bb=8)
         tokens, n_tokens = ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
         return jnp.sum(n_tokens) + jnp.sum(tokens[:, 0])
@@ -88,28 +116,29 @@ def main():
     float(pipeline(params, batches[0], wave_lengths))
 
     # Enqueue all iterations (distinct inputs — no transport-level result
-    # caching possible), then block once: measures device throughput without
-    # charging the host->device dispatch RTT to every batch (the axon tunnel
-    # adds ~30 ms per round trip, which a per-iteration host sync would
-    # count 5x).
+    # caching possible), then fetch each scalar: measures device throughput
+    # without charging the host->device dispatch RTT to every batch (the
+    # axon tunnel adds ~30 ms per round trip, which a per-iteration host
+    # sync would count 5x).
     t0 = time.perf_counter()
     outs = [pipeline(params, wav, wave_lengths) for wav in batches]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
     for o in outs:
-        float(o)  # sanity: results materialize
+        float(o)  # value fetch: forces execution through the transport
+    dt = time.perf_counter() - t0
 
     audio_seconds = B * seconds * iters
     rtfx = audio_seconds / dt
+    feed = _host_feed_rtfx(B, seconds)
     roofline, peak_hypo = _anchors()
     print(
         json.dumps(
             {
                 "metric": "ebranchformer_ctc_infer_rtfx",
                 "value": round(rtfx, 1),
-                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy, one program); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor",
+                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy, one program); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
                 "vs_baseline": round(rtfx * 8 / roofline, 3),
                 "vs_peak_hypothetical": round(rtfx * 8 / peak_hypo, 3),
+                "host_feed_rtfx": round(feed, 1),
             }
         )
     )

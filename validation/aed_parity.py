@@ -149,16 +149,14 @@ def ours_decode(work, ds_dir, tok_dir):
 def reference_decode(work, ds_dir, tok_dir):
     import torch
 
-    if "/root/reference/src" not in sys.path:
-        sys.path.insert(0, "/root/reference/src")
+    from validation.ref_compat import (
+        RefJointCompat as RefJoint,
+        RefJointConfig,
+    )
+
     import jax.numpy as jnp
-    from transformers import AutoTokenizer
 
     from decoding.config import GenerationConfigCustom
-    from models.ctc_encoder_plus_autoregressive_decoder import (
-        JointCTCAttentionEncoderDecoder as RefJoint,
-        JointCTCAttentionEncoderDecoderConfig as RefJointConfig,
-    )
     from models.decoders.multi_head_gpt2 import (
         GPT2LMMultiHeadModel,
         GPT2MultiHeadConfig,
@@ -227,6 +225,10 @@ def reference_decode(work, ds_dir, tok_dir):
         pad_token_id=ids["pad"], decoder_start_token_id=ids["bos"],
         early_stopping=False, length_penalty=1.0, do_sample=False,
     )
+
+    # the reference's _get_logits_processor reads self.generation_config
+    # (HF Seq2SeqTrainer assigns it there); replicate that wiring
+    ref.generation_config = gen_cfg
 
     frontend = LogMelFrontEnd(LogMelConfig())
     batchw, lens, refs = _test_batch(ds_dir)

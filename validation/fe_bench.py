@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--variants", default="xla:highest,xla:high,pallas:highest,pallas:high")
+    ap.add_argument("--rows-layout", action="store_true",
+                    help="feed Pallas variants the (B, rows, hop) hop-row "
+                         "layout (host-side free reshape)")
     args = ap.parse_args()
 
     import jax
@@ -47,36 +50,49 @@ def main():
     for spec in args.variants.split(","):
         kind, prec = spec.split(":")
         cfg = LogMelConfig(matmul_precision=prec)
+        rows_in = False
         if kind == "pallas":
             from huggingface_asr_tpu.ops.pallas_features import PallasLogMelFrontEnd
 
             fe = PallasLogMelFrontEnd(cfg)
+            rows_in = args.rows_layout
         else:
             fe = LogMelFrontEnd(cfg)
 
+        if rows_in:
+            rows, hop = fe.rows_alloc(S), cfg.hop_length
+            use_waves = [
+                jnp.pad(w, ((0, 0), (0, rows * hop - S))).reshape(B, rows, hop)
+                for w in waves
+            ]
+            fe_kw = {"num_samples": S}
+        else:
+            use_waves = waves
+            fe_kw = {}
+
         @jax.jit
         def run(wav):
-            f, fl = fe(wav, wl)
+            f, fl = fe(wav, wl, **fe_kw)
             return f, fl
 
         # scalar-fetch variant for timing: on the axon transport,
         # block_until_ready does not reliably wait; a value fetch does
         @jax.jit
         def run_s(wav):
-            f, fl = fe(wav, wl)
+            f, fl = fe(wav, wl, **fe_kw)
             return jnp.sum(f)
 
         try:
-            f0, _ = run(waves[0])
+            f0, _ = run(use_waves[0])
             f0.block_until_ready()
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"variant": spec, "error": repr(e)[:500]}), flush=True)
             continue
         if spec == "xla:highest":
             ref_feats = np.asarray(f0, np.float32)
-        float(run_s(waves[0]))
+        float(run_s(use_waves[0]))
         t0 = time.perf_counter()
-        outs = [run_s(w) for w in waves]
+        outs = [run_s(w) for w in use_waves]
         for o in outs:
             float(o)
         dt = (time.perf_counter() - t0) / args.iters

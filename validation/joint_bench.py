@@ -83,6 +83,18 @@ def main():
         "b60_scan": dict(num_beams=60, ctc_weight=0.0, early_exit=False),
     }
 
+    # A100 roofline anchor for the reference's joint beam decode op stream
+    # (validation/roofline_joint.py; beams=5/ctc 0.3): vs_baseline for the
+    # b5 variants = 8-chip pod rate / anchor, same convention as bench.py.
+    anchor = None
+    try:
+        with open(os.path.join(
+            REPO, "validation", "baseline_measurement.json"
+        )) as f:
+            anchor = json.load(f).get("a100_joint_rtfx_roofline")
+    except OSError:
+        pass
+
     for name in args.variants.split(","):
         kw = variants[name.strip()]
         bcfg = BeamSearchConfig(max_length=args.max_length, **kw)
@@ -93,16 +105,20 @@ def main():
             seqs, scores = generate_joint(model, params, feats, flens, bcfg)
             return seqs[:, 0, :].sum() + scores.sum()
 
-        run(params, waves[0]).block_until_ready()
+        float(run(params, waves[0]))
         t0 = time.perf_counter()
-        for i in range(args.iters):
-            out = run(params, waves[i])
-        out.block_until_ready()
+        outs = [run(params, waves[i]) for i in range(args.iters)]
+        for o in outs:
+            float(o)  # value fetch: forces execution through the transport
         dt = (time.perf_counter() - t0) / args.iters
-        print(json.dumps({
+        rec = {
             "variant": name, "ms": round(dt * 1e3, 1),
             "rtfx": round(B * sec / dt, 1),
-        }), flush=True)
+        }
+        if anchor and kw["num_beams"] == 5:
+            rec["vs_baseline"] = round(B * sec / dt * 8 / anchor, 2)
+            rec["baseline"] = f"a100_joint_rtfx_roofline={anchor}"
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
