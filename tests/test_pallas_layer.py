@@ -101,3 +101,42 @@ def test_fused_layer_rejects_unsupported():
     bad = dataclasses.replace(CFG, position_embeddings_type="rotary")
     with pytest.raises(ValueError):
         ctc_infer_fused(params, bad, x, lens, interpret=True)
+
+
+def test_fused_layer_swish_hidden_act():
+    """hidden_act != gelu: the macaron FFs use the configured activation but
+    cgMLP channel_proj1 stays exact-GELU (reference hardcodes nn.GELU there;
+    ADVICE r2 medium finding)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, hidden_act="swish")
+    model = EBranchformerForCTC(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 80)), jnp.float32)
+    lens = jnp.asarray([64, 48], jnp.int32)
+    params = model.init(jax.random.key(0), x, lens)["params"]
+    ref = model.apply({"params": params}, x, lens, deterministic=True)
+    got = ctc_infer_fused(params, cfg, x, lens, bb=2, interpret=True)
+    r = np.asarray(ref.logits, np.float32)
+    g = np.asarray(got.logits, np.float32)
+    valid = np.arange(r.shape[1])[None, :] < np.asarray(got.logit_lengths)[:, None]
+    assert np.abs(g - r)[valid].max() <= 0.05 * max(np.abs(r[valid]).max(), 1.0)
+
+
+def test_fused_layer_t_not_multiple_of_8():
+    """T_in chosen so the encoder frame count is NOT a multiple of 8: the
+    kernel's T-padding must not leak into valid frames (ADVICE r2: pad rows
+    gain FF biases and would bleed through the kernel-31 depthwise convs)."""
+    model, params, _, _ = _setup()
+    rng = np.random.default_rng(7)
+    T_in = 84  # -> 21 encoder frames -> padded to 24 inside the fused path
+    x = jnp.asarray(rng.standard_normal((4, T_in, 80)), jnp.float32)
+    lens = jnp.asarray([T_in, T_in - 8, T_in // 2, T_in - 20], jnp.int32)
+    ref = model.apply({"params": params}, x, lens, deterministic=True)
+    got = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
+    assert got.logits.shape == ref.logits.shape
+    r = np.asarray(ref.logits, np.float32)
+    g = np.asarray(got.logits, np.float32)
+    valid = np.arange(r.shape[1])[None, :] < np.asarray(got.logit_lengths)[:, None]
+    diff = np.abs(g - r)[valid]
+    assert diff.max() <= 0.05 * max(np.abs(r[valid]).max(), 1.0), diff.max()
