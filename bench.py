@@ -25,6 +25,21 @@ import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the fused pipeline is one large
+    Mosaic+XLA program whose cold compile is minutes; warm runs (CI, the
+    bench driver, repeated serving restarts) reuse the compiled executable."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def _anchors() -> tuple:
     path = os.path.join(
@@ -60,6 +75,8 @@ def _host_feed_rtfx(B: int, seconds: float, iters: int = 4) -> float:
 
 def main():
     import jax
+
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from huggingface_asr_tpu.models.configs import EBranchformerConfig

@@ -1,0 +1,126 @@
+"""Stage-by-stage attribution of the bench pipeline (fused path) on real TPU.
+
+Times cumulative pipeline prefixes — mel FE | +conv/proj | +N fused layers |
+full (+heads+greedy) — each as one jit program with distinct device inputs,
+enqueue-all-then-fetch (same methodology as bench.py, robust to the ~30 ms
+axon dispatch RTT). The deltas between stages attribute the batch time.
+
+Run: python validation/bench_attrib.py [--stages mel,conv,enc12,full]
+     [--bb 8] [--iters 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--bb", type=int, default=8)
+    ap.add_argument("--stages", default="mel,conv,enc2,enc12,full")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from huggingface_asr_tpu.models.configs import EBranchformerConfig
+    from huggingface_asr_tpu.models.ebranchformer import EBranchformerForCTC
+    from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused
+    from huggingface_asr_tpu.ops.ctc import ctc_greedy_decode
+    from huggingface_asr_tpu.ops.features import LogMelConfig
+    from huggingface_asr_tpu.ops.pallas_features import PallasLogMelFrontEnd
+
+    cfg_kw = dict(
+        hidden_size=256, num_hidden_layers=12, num_attention_heads=8,
+        intermediate_size=1024, conv_dim=(256, 256), conv_kernel=(3, 3),
+        conv_stride=(2, 2), conv_padding=(1, 1), vocab_size=500,
+    )
+    B, sec = args.batch, args.seconds
+    S = int(16000 * sec)
+    frontend = PallasLogMelFrontEnd(LogMelConfig())
+    rows, hop = frontend.rows_alloc(S), 160
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(args.iters):
+        w = np.zeros((B, rows * hop), np.float32)
+        w[:, :S] = rng.standard_normal((B, S)).astype(np.float32) * 0.1
+        batches.append(jnp.asarray(w.reshape(B, rows, hop)))
+    lens = jnp.full((B,), S, jnp.int32)
+
+    def make(stage):
+        n_layers = cfg_kw["num_hidden_layers"]
+        if stage.startswith("enc"):
+            n_layers = int(stage[3:])
+        cfg = EBranchformerConfig(**{**cfg_kw, "num_hidden_layers": n_layers})
+        model = EBranchformerForCTC(cfg, dtype=jnp.bfloat16)
+        f0, fl0 = frontend(batches[0][:1], lens[:1], num_samples=S)
+        params = model.init(jax.random.key(0), f0, fl0)["params"]
+
+        @jax.jit
+        def fn(wav):
+            feats, feat_lens = frontend(wav, lens, num_samples=S)
+            if stage == "mel":
+                return jnp.sum(feats)
+            if stage == "conv":
+                from huggingface_asr_tpu.models.ebranchformer import (
+                    Conv2dFeatureExtractor, FeatureProjection,
+                )
+                enc_p = params["wav2vec2"]
+                ex = Conv2dFeatureExtractor(cfg, jnp.bfloat16, name=None).apply(
+                    {"params": enc_p["feature_extractor"]}, feats
+                )
+                h, _ = FeatureProjection(cfg, jnp.bfloat16, name=None).apply(
+                    {"params": enc_p["feature_projection"]}, ex, True
+                )
+                return jnp.sum(h)
+            out = ctc_infer_fused(params, cfg, feats, feat_lens, bb=args.bb)
+            if stage == "full":
+                toks, n = ctc_greedy_decode(
+                    out.logits, out.logit_lengths, blank_id=-1
+                )
+                return jnp.sum(n) + jnp.sum(toks[:, 0])
+            return jnp.sum(out.logits)
+
+        return fn
+
+    audio_sec = B * sec
+    prev = None
+    for stage in args.stages.split(","):
+        stage = stage.strip()
+        fn = make(stage)
+        float(fn(batches[0]))  # compile
+        t0 = time.perf_counter()
+        outs = [fn(w) for w in batches]
+        for o in outs:
+            float(o)
+        dt = (time.perf_counter() - t0) / args.iters
+        rec = {
+            "stage": stage, "ms": round(dt * 1e3, 2),
+            "rtfx": round(audio_sec / dt, 1),
+        }
+        if prev is not None:
+            rec["delta_ms"] = round((dt - prev) * 1e3, 2)
+        prev = dt
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
