@@ -42,7 +42,9 @@ class BeamSearchConfig:
     num_beams: int = 5
     max_length: int = 128
     ctc_weight: float = 0.3
-    ctc_margin: int = 0  # reserved (frame windowing) — 0 matches released decode cfg
+    ctc_margin: int = 0  # accepted + inert, matching the reference generate()
+                         # path (ctc_scorer.py:127,331: windowing needs att_w,
+                         # which is never passed) — any value decodes identically
     lm_weight: float = 0.0
     length_penalty: float = 1.0
     num_candidates: int = 64  # per-beam att top-K scored by CTC
@@ -164,17 +166,15 @@ def joint_beam_search(
     ``config.return_components``.
     """
     cfg = config
-    if cfg.ctc_margin not in (0, None):
-        # Frame windowing trades exactness for compute on sequential
-        # hardware; on TPU the full-T scan is already a fused batched
-        # program, so the windowed variant would be slower (dynamic slicing
-        # defeats XLA tiling). All released reference decode configs use 0
-        # (hf_shared_models/DeCRED_base.py:20-23). Refuse loudly rather than
-        # silently ignore.
-        raise NotImplementedError(
-            "ctc_margin frame windowing is intentionally unsupported on TPU "
-            "(full-T scoring is faster here); use ctc_margin=0"
-        )
+    # ctc_margin is accepted and IGNORED — exactly the reference's shipped
+    # behavior: CTCPrefixScoreTH only windows when attention weights are
+    # passed (ctc_scorer.py:127 `att_w is not None and self.margin > 0`),
+    # and CTCRescorerLogitsProcessor.__call__ never passes att_w
+    # (ctc_scorer.py:331 `self.ctc_prefix_scorer(input_ids, self.ctc_states)`),
+    # so margin>0 is inert in the reference's generate() path too. Full-T
+    # scoring here is therefore bit-for-bit the same recursion the reference
+    # runs at ANY margin value, and reference decode configs that set a
+    # margin run unchanged.
     B, W, K = batch_size, cfg.num_beams, cfg.num_candidates
     L = cfg.max_length
     BW = B * W

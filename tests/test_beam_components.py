@@ -246,3 +246,25 @@ def test_eos_space_trick_parity():
     np.testing.assert_allclose(
         np.asarray(got), out_on.numpy(), rtol=1e-5, atol=1e-5
     )
+
+
+def test_ctc_margin_inert_matches_reference_behavior():
+    """ctc_margin>0 must decode IDENTICALLY to margin=0: the reference's own
+    generate() path never activates windowing (ctc_scorer.py:127 requires
+    att_w, which CTCRescorerLogitsProcessor.__call__ :331 never passes), so
+    margin is inert there and must be inert — not an error — here."""
+    step, cache, ctc_lp, _ = _setup()
+    seqs = {}
+    for margin in (0, 5):
+        cfg = BeamSearchConfig(
+            num_beams=2, max_length=8, ctc_weight=0.3, num_candidates=8,
+            ctc_margin=margin,
+        )
+        s, sc = joint_beam_search(
+            step, cache, 2, cfg,
+            ctc_log_probs=ctc_lp, ctc_lengths=jnp.asarray([10, 7]),
+            vocab_size=30,
+        )
+        seqs[margin] = (np.asarray(s), np.asarray(sc))
+    np.testing.assert_array_equal(seqs[0][0], seqs[5][0])
+    np.testing.assert_allclose(seqs[0][1], seqs[5][1], rtol=1e-6)
