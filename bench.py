@@ -105,42 +105,52 @@ def main():
     S = int(16000 * seconds)
 
     rng = np.random.default_rng(0)
-    iters = 5
+    iters = 10
     # Waveforms enter in the hop-row layout (a free host-side np.reshape of
     # the padded buffer — see PallasLogMelFrontEnd.rows_alloc); this removes
     # the on-device pad+reshape relayout from the front end.
     rows, hop = frontend.rows_alloc(S), 160
-    # Distinct inputs per iteration + a scalar host fetch each step: robust
-    # against any transport-level result caching / lazy sync.
-    batches = []
-    for _ in range(iters):
-        w = np.zeros((B, rows * hop), np.float32)
-        w[:, :S] = rng.standard_normal((B, S)).astype(np.float32) * 0.1
-        batches.append(jnp.asarray(w.reshape(B, rows, hop)))
+    # Distinct inputs per iteration (no transport-level result caching
+    # possible), stacked so ALL iterations run inside ONE compiled program
+    # (lax.scan below): this environment reaches the chip through a tunnel
+    # whose per-dispatch round trip is ~29 ms SERIALIZED per call (measured:
+    # three trivial jit calls on device-resident data cost 96 ms — see
+    # validation/bench_attrib.py stage "base"), which is an artifact of the
+    # tunnel, not of TPU hardware (a real host dispatches in <100 us, and
+    # the A100 anchor charges 4.5 us per op launch). One dispatch for all
+    # iterations amortizes the tunnel RTT to <3 ms/batch; host-side input
+    # readiness is reported separately as host_feed_rtfx.
+    w = np.zeros((iters, B, rows * hop), np.float32)
+    w[:, :, :S] = (
+        rng.standard_normal((iters, B, S)).astype(np.float32) * 0.1
+    )
+    waves = jnp.asarray(w.reshape(iters, B, rows, hop))
+    del w
     wave_lengths = jnp.full((B,), S, jnp.int32)
+    jax.block_until_ready(waves)
 
-    feats0, feat_lens0 = frontend(batches[0][:1], wave_lengths[:1], num_samples=S)
+    feats0, feat_lens0 = frontend(
+        waves[0][:1], wave_lengths[:1], num_samples=S
+    )
     params = model.init(jax.random.key(0), feats0, feat_lens0)["params"]
 
     @jax.jit
-    def pipeline(params, waveforms, wave_lengths):
-        feats, feat_lens = frontend(waveforms, wave_lengths, num_samples=S)
-        out = ctc_infer_fused(params, config, feats, feat_lens, bb=8)
-        tokens, n_tokens = ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
-        return jnp.sum(n_tokens) + jnp.sum(tokens[:, 0])
+    def pipeline(params, waves, wave_lengths):
+        def body(carry, waveforms):
+            feats, feat_lens = frontend(waveforms, wave_lengths, num_samples=S)
+            out = ctc_infer_fused(params, config, feats, feat_lens, bb=8)
+            tokens, n_tokens = ctc_greedy_decode(
+                out.logits, out.logit_lengths, blank_id=-1
+            )
+            return carry, jnp.sum(n_tokens) + jnp.sum(tokens[:, 0])
+        _, sums = jax.lax.scan(body, 0, waves)
+        return sums
 
     # Warmup / compile.
-    float(pipeline(params, batches[0], wave_lengths))
+    np.asarray(pipeline(params, waves, wave_lengths))
 
-    # Enqueue all iterations (distinct inputs — no transport-level result
-    # caching possible), then fetch each scalar: measures device throughput
-    # without charging the host->device dispatch RTT to every batch (the
-    # axon tunnel adds ~30 ms per round trip, which a per-iteration host
-    # sync would count 5x).
     t0 = time.perf_counter()
-    outs = [pipeline(params, wav, wave_lengths) for wav in batches]
-    for o in outs:
-        float(o)  # value fetch: forces execution through the transport
+    np.asarray(pipeline(params, waves, wave_lengths))
     dt = time.perf_counter() - t0
 
     audio_seconds = B * seconds * iters
@@ -152,7 +162,7 @@ def main():
             {
                 "metric": "ebranchformer_ctc_infer_rtfx",
                 "value": round(rtfx, 1),
-                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy, one program); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
+                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy; 10 distinct batches per dispatch to amortize the ~29 ms tunnel RTT); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
                 "vs_baseline": round(rtfx * 8 / roofline, 3),
                 "vs_peak_hypothetical": round(rtfx * 8 / peak_hypo, 3),
                 "host_feed_rtfx": round(feed, 1),
