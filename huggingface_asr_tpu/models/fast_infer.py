@@ -34,6 +34,10 @@ from huggingface_asr_tpu.ops.pallas_layer import (
     ebranchformer_layer,
     fold_layer_weights,
 )
+from huggingface_asr_tpu.ops.pallas_subsample import (
+    conv_subsample_fused,
+    fits_subsample_kernel,
+)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -57,20 +61,31 @@ def ctc_infer_fused(
     dtype = jnp.bfloat16
     enc_p = params["wav2vec2"]
 
-    extract = Conv2dFeatureExtractor(cfg, dtype, name=None).apply(
-        {"params": enc_p["feature_extractor"]}, input_features
-    )
-    hidden, _ = FeatureProjection(cfg, dtype, name=None).apply(
-        {"params": enc_p["feature_projection"]}, extract, True
-    )
+    T = int(feat_extract_output_lengths(cfg, input_features.shape[1]))
+    T_pad = _round_up(T, 8)
+    if fits_subsample_kernel(cfg):
+        # Fused Pallas subsampler (ops/pallas_subsample.py): conv1+conv2+
+        # flatten+LN+projection in one VMEM-resident kernel; rows >= each
+        # item's length are garbage and masked below.
+        hidden = conv_subsample_fused(
+            enc_p, cfg, input_features, T2_pad=T_pad, interpret=interpret
+        )
+    else:
+        extract = Conv2dFeatureExtractor(cfg, dtype, name=None).apply(
+            {"params": enc_p["feature_extractor"]}, input_features
+        )
+        hidden, _ = FeatureProjection(cfg, dtype, name=None).apply(
+            {"params": enc_p["feature_projection"]}, extract, True
+        )
+        if T_pad != hidden.shape[1]:
+            hidden = jnp.pad(
+                hidden, ((0, 0), (0, T_pad - hidden.shape[1]), (0, 0))
+            )
 
     out_lengths = feat_extract_output_lengths(cfg, input_lengths).astype(jnp.int32)
-    out_lengths = jnp.clip(out_lengths, 0, hidden.shape[1])
+    out_lengths = jnp.clip(out_lengths, 0, T)
 
-    B, T, D = hidden.shape
-    T_pad = _round_up(T, 8)
-    if T_pad != T:
-        hidden = jnp.pad(hidden, ((0, 0), (0, T_pad - T), (0, 0)))
+    B, _, D = hidden.shape
     mask = lengths_to_mask(out_lengths, T_pad)
     x = jnp.where(mask[..., None], hidden, 0.0).astype(dtype)
 

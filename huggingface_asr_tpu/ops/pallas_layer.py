@@ -91,6 +91,54 @@ def _erf_rational(x):
     return jnp.sign(x) * e
 
 
+FAST_RECIP = False  # benchmark knob: approx reciprocal + Newton instead of
+                    # the exact divide (1 f32-ulp noise; ~4% fewer bitwise-
+                    # equal bf16s vs the XLA path — flip only if it buys ms)
+
+
+def _recip(x):
+    """fp32 reciprocal. With FAST_RECIP: VPU approximate reciprocal + one
+    Newton step (error ~1 f32 ulp) instead of the multi-pass divide."""
+    if FAST_RECIP:
+        r = pl.reciprocal(x, approx=True)
+        return r * (2.0 - x * r)
+    return 1.0 / x
+
+
+def _erfc_rational(x):
+    """erfc via the same A&S 7.1.28 rational: for x >= 0 the tail 1/p^16 is
+    computed DIRECTLY (no 1-erf cancellation — exact relative accuracy in
+    the tail); erfc(-x) = 2 - erfc(x)."""
+    a1, a2, a3, a4, a5, a6 = (
+        0.0705230784, 0.0422820123, 0.0092705272,
+        0.0001520143, 0.0002765672, 0.0000430638,
+    )
+    ax = jnp.abs(x)
+    p = ((((((a6 * ax + a5) * ax + a4) * ax + a3) * ax + a2) * ax + a1) * ax
+         + 1.0)
+    p2 = p * p
+    p4 = p2 * p2
+    p8 = p4 * p4
+    inv = _recip(p8 * p8)
+    return jnp.where(x >= 0, inv, 2.0 - inv)
+
+
+_SQRT_HALF_BF16 = 0.70703125  # float(jnp.bfloat16(np.sqrt(0.5)))
+
+
+def _gelu_bf16(x_bf):
+    """Bit-exact replica of ``jax.nn.gelu(x, approximate=False)`` on bf16
+    (what the XLA model path applies): XLA evaluates ``0.5 * x *
+    erfc(-x * bf16(sqrt(1/2)))`` with every elementwise op rounded to bf16
+    and erfc computed in f32, rounded once. |erfc err| <= 3e-7 in f32."""
+    f32, bf = jnp.float32, jnp.bfloat16
+    xf = x_bf.astype(f32)
+    u = (xf * (-_SQRT_HALF_BF16)).astype(bf).astype(f32)
+    e = _erfc_rational(u).astype(bf).astype(f32)
+    half = (xf * 0.5).astype(bf).astype(f32)
+    return (half * e).astype(bf)
+
+
 _SQRT_HALF = 0.7071067811865476
 
 
@@ -107,6 +155,19 @@ ACT_F32 = {
     "swish": jax.nn.silu,
     "silu": jax.nn.silu,
     "identity": lambda x: x,
+}
+
+# Activations on bf16 values, replicating the XLA model path's per-op bf16
+# rounding (models/ebranchformer.py ACT applies to bf16 arrays). "gelu" has
+# a dedicated exact chain; the rest compute in f32 and round once, which
+# matches XLA's upcast-compute-downcast lowering for transcendentals.
+ACT_BF16 = {
+    "gelu": _gelu_bf16,
+    **{
+        k: (lambda f: (lambda x: f(x.astype(jnp.float32)).astype(jnp.bfloat16)))(f)
+        for k, f in ACT_F32.items()
+        if k != "gelu"
+    },
 }
 
 # Fixed input order for the kernel (after the scalar-prefetch lengths).
@@ -164,12 +225,17 @@ class LayerStatic:
 
 
 def _ln(h, g_ref, b_ref, eps):
-    """LayerNorm over lanes; fp32 statistics, bf16 out (matches Flax)."""
+    """LayerNorm over lanes, replicating flax's exact rounding chain:
+    fp32 fast variance (E[x^2] - mu^2, clipped at 0), mul = rsqrt(var+eps)
+    * scale, y = (x-mu)*mul + bias, one bf16 rounding at the end. One fewer
+    data pass than the two-pass variance, and bit-matches nn.LayerNorm."""
     hf = h.astype(jnp.float32)
     mu = jnp.mean(hf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
-    y = (hf - mu) * jax.lax.rsqrt(var + eps)
-    y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    var = jnp.maximum(
+        jnp.mean(hf * hf, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
+    mul = jax.lax.rsqrt(var + eps) * g_ref[0].astype(jnp.float32)
+    y = (hf - mu) * mul + b_ref[0].astype(jnp.float32)
     return y.astype(jnp.bfloat16)
 
 
@@ -193,7 +259,12 @@ def _dwconv(x_bTC, w_ref, b_ref, pad_scratch, K, C, t_mask):
     """
     bb, T, _ = x_bTC.shape
     P = (K - 1) // 2
-    pad_scratch[...] = jnp.zeros(pad_scratch.shape, jnp.float32)
+    # only the halo rows need zeroing — the [PAD_ALLOC, PAD_ALLOC+T) body is
+    # overwritten below and lanes >= C are never read
+    pad_scratch[:, :PAD_ALLOC, :C] = jnp.zeros((bb, PAD_ALLOC, C), jnp.float32)
+    pad_scratch[:, PAD_ALLOC + T :, :C] = jnp.zeros(
+        (bb, PAD_ALLOC, C), jnp.float32
+    )
     xf = x_bTC.astype(jnp.float32)
     if t_mask is not None:
         xf = jnp.where(t_mask, xf, 0.0)
@@ -217,12 +288,12 @@ def _layer_kernel(*refs, st: LayerStatic):
     N = bb * T
     ab = set(st.ablate.split(",")) if st.ablate else set()
     act = (
-        (lambda z: z) if "no_gelu" in ab else ACT_F32[st.hidden_act]
+        (lambda z: z) if "no_gelu" in ab else ACT_BF16[st.hidden_act]
     )
     # cgMLP channel_proj1 is ALWAYS exact GELU (reference ConvolutionalGatingMLP
     # hardcodes nn.GELU; models/ebranchformer.py:361 matches) — cfg.hidden_act
     # applies only to the macaron FFs.
-    cg_act = (lambda z: z) if "no_gelu" in ab else ACT_F32["gelu"]
+    cg_act = (lambda z: z) if "no_gelu" in ab else ACT_BF16["gelu"]
 
     t_valid = st.t_valid or T
     if t_valid < T:
@@ -238,7 +309,7 @@ def _layer_kernel(*refs, st: LayerStatic):
     if "no_ff" not in ab:
         h = _ln(x, w["ff1_ln_g"], w["ff1_ln_b"], eps)
         h = _mm(h, w["ff1_wi"], w["ff1_bi"])
-        h = act(h.astype(jnp.float32)).astype(jnp.bfloat16)
+        h = act(h)
         h = _mm(h, w["ff1_wo"], w["ff1_bo"])
         x = (x.astype(jnp.float32) + 0.5 * h.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -304,7 +375,7 @@ def _layer_kernel(*refs, st: LayerStatic):
     # ---- cgMLP branch
     l = _ln(x, w["cg_ln_g"], w["cg_ln_b"], eps)
     l = _mm(l, w["cg_w1"], w["cg_b1"])                # (N, I)
-    l = cg_act(l.astype(jnp.float32)).astype(jnp.bfloat16)
+    l = cg_act(l)
     C = I // 2
     x_r = l[:, :C]
     x_g = _ln(l[:, C:], w["csgu_ln_g"], w["csgu_ln_b"], eps)
@@ -342,7 +413,7 @@ def _layer_kernel(*refs, st: LayerStatic):
     if "no_ff" not in ab:
         h = _ln(x, w["ff2_ln_g"], w["ff2_ln_b"], eps)
         h = _mm(h, w["ff2_wi"], w["ff2_bi"])
-        h = act(h.astype(jnp.float32)).astype(jnp.bfloat16)
+        h = act(h)
         h = _mm(h, w["ff2_wo"], w["ff2_bo"])
         x = (x.astype(jnp.float32) + 0.5 * h.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -374,9 +445,11 @@ def fold_layer_weights(
     inv = np.float32(1.0 / np.sqrt(dh))
 
     def ln2(p):
+        # f32, matching flax (LayerNorm params are f32; bf16 storage would
+        # add a rounding the XLA path doesn't have)
         return (
-            jnp.asarray(p["scale"], bf).reshape(1, -1),
-            jnp.asarray(p["bias"], bf).reshape(1, -1),
+            jnp.asarray(p["scale"], jnp.float32).reshape(1, -1),
+            jnp.asarray(p["bias"], jnp.float32).reshape(1, -1),
         )
 
     att = lp["self_attn"]

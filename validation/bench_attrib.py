@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--bb", type=int, default=8)
     ap.add_argument("--stages", default="mel,conv,enc2,enc12,full")
     ap.add_argument("--lazy-inputs", action="store_true")
+    ap.add_argument("--scan", action="store_true",
+                    help="run each stage over all iters inside ONE dispatch "
+                         "(lax.scan over stacked batches, like bench.py) so "
+                         "the ~29 ms tunnel RTT is paid once, not per iter — "
+                         "deltas are then pure device time")
     args = ap.parse_args()
 
     import jax
@@ -89,11 +94,38 @@ def main():
             feats, feat_lens = frontend(wav, lens, num_samples=S)
             if stage == "mel":
                 return jnp.sum(feats)
-            if stage == "conv":
+            if stage == "sub":
+                from huggingface_asr_tpu.ops.pallas_subsample import (
+                    conv_subsample_fused,
+                )
+                T2 = feats.shape[1] // 4
+                T2p = -(-T2 // 8) * 8
+                h = conv_subsample_fused(
+                    params["wav2vec2"], cfg, feats, T2_pad=T2p
+                )
+                return jnp.sum(h.astype(jnp.float32))
+            if stage in ("conv", "conv1", "conv2"):
                 from huggingface_asr_tpu.models.ebranchformer import (
                     Conv2dFeatureExtractor, FeatureProjection,
                 )
                 enc_p = params["wav2vec2"]
+                if stage in ("conv1", "conv2"):
+                    # single conv stage in isolation (same weights)
+                    import flax.linen as nn
+                    cp = enc_p["feature_extractor"]
+                    x = feats[..., None].astype(jnp.bfloat16)
+                    x = nn.Conv(256, (3, 3), strides=(2, 2),
+                                padding=[(1, 1), (1, 1)], dtype=jnp.bfloat16,
+                                name=None).apply(
+                        {"params": cp["conv_0"]}, x)
+                    x = jax.nn.gelu(x, approximate=False)
+                    if stage == "conv2":
+                        x = nn.Conv(256, (3, 3), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    dtype=jnp.bfloat16, name=None).apply(
+                            {"params": cp["conv_1"]}, x)
+                        x = jax.nn.gelu(x, approximate=False)
+                    return jnp.sum(x)
                 ex = Conv2dFeatureExtractor(cfg, jnp.bfloat16, name=None).apply(
                     {"params": enc_p["feature_extractor"]}, feats
                 )
@@ -112,16 +144,34 @@ def main():
         return fn
 
     audio_sec = B * sec
+    stacked = jnp.stack(batches) if args.scan else None
+    if args.scan:
+        jax.block_until_ready(stacked)
     prev = None
     for stage in args.stages.split(","):
         stage = stage.strip()
         fn = make(stage)
-        float(fn(batches[0]))  # compile
-        t0 = time.perf_counter()
-        outs = [fn(w) for w in batches]
-        for o in outs:
-            float(o)
-        dt = (time.perf_counter() - t0) / args.iters
+        if args.scan:
+            inner = fn
+
+            @jax.jit
+            def fn(ws):
+                def body(c, w):
+                    return c, inner(w)
+                _, outs = jax.lax.scan(body, 0, ws)
+                return jnp.sum(outs)
+
+            float(fn(stacked))  # compile
+            t0 = time.perf_counter()
+            float(fn(stacked))
+            dt = (time.perf_counter() - t0) / args.iters
+        else:
+            float(fn(batches[0]))  # compile
+            t0 = time.perf_counter()
+            outs = [fn(w) for w in batches]
+            for o in outs:
+                float(o)
+            dt = (time.perf_counter() - t0) / args.iters
         rec = {
             "stage": stage, "ms": round(dt * 1e3, 2),
             "rtfx": round(audio_sec / dt, 1),
