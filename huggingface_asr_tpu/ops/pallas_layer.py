@@ -91,15 +91,21 @@ def _erf_rational(x):
     return jnp.sign(x) * e
 
 
-FAST_RECIP = False  # benchmark knob: approx reciprocal + Newton instead of
-                    # the exact divide (1 f32-ulp noise; ~4% fewer bitwise-
-                    # equal bf16s vs the XLA path — flip only if it buys ms)
+RECIP_MODE = "off"  # "off" (exact divide) | "newton" (approx + 1 Newton
+                    # step, ~1 f32 ulp) | "approx" (raw VPU reciprocal,
+                    # rel err ~2^-14 — still ~60x below bf16 resolution).
+                    # The erfc rational divides by p^16 in [1, 4e6]; an
+                    # approx reciprocal perturbs erfc by <=6e-5 absolute,
+                    # flipping only bf16 values within 6e-5 of a rounding
+                    # boundary. Benchmark knob; kernels read it at trace
+                    # time so harnesses can set it per-variant.
 
 
 def _recip(x):
-    """fp32 reciprocal. With FAST_RECIP: VPU approximate reciprocal + one
-    Newton step (error ~1 f32 ulp) instead of the multi-pass divide."""
-    if FAST_RECIP:
+    """fp32 reciprocal; see RECIP_MODE."""
+    if RECIP_MODE == "approx":
+        return pl.reciprocal(x, approx=True)
+    if RECIP_MODE == "newton":
         r = pl.reciprocal(x, approx=True)
         return r * (2.0 - x * r)
     return 1.0 / x

@@ -11,20 +11,22 @@ This kernel computes the whole subsampler per batch item in VMEM:
   → flatten (channel-major) → Dense out (F2·C → D) → LayerNorm → Dense proj
 
 Design (all matmuls MXU-shaped, no strided vector access anywhere):
-  * Time stride 4 (two stride-2 convs) is pre-packed on the host/XLA side:
-    the mel image (T_in, 80) is viewed as x4 = (T2, 320) — FOUR mel rows
-    per sublane row — plus a shifted tail view (T2, 80) carrying mel row
-    4·t2-1. Both are free XLA reshapes/slices of the padded mel buffer.
-  * conv1 becomes, per output frequency group f' (40 groups), TWO matmuls:
-        y1p[f'] = x4 @ B[f'] + x_tail_prev @ C[f']          # (T2, 2C)
-    where B[f'] (320, 2C) holds the 3x3 taps for BOTH conv1 output
-    parities (lanes [0:C] = even frame 2·t2, lanes [C:2C] = odd frame
-    2·t2+1) and C[f'] (80, C) the one tap that crosses the 4-row boundary.
-    The parity packing means conv2's stride-2 time access is an ALIGNED
-    LANE-HALF SLICE of y1p — no stride-2 sublane reads exist in the kernel.
+  * conv1 is an EXACT-FLOP im2col contraction: the host/XLA side builds a
+    16-lane patch tensor patches[(g, t2), tap=(r, kf)] = mel[4·t2 + r - 1,
+    2·g + kf - 1] from 15 strided slices of the padded mel buffer (pure
+    bandwidth ops), and the kernel computes ONE MXU dot
+        y1p = patches @ Wtap                  # (R, 16) @ (16, 2C)
+    where Wtap[(r, kf), p·C + c] = w1[r - 2p, kf, c] packs BOTH conv1
+    output parities (lanes [0:C] = even frame 2·t2, lanes [C:2C] = odd
+    frame 2·t2+1). A dense folded operator here would burn 45x the conv's
+    FLOPs ((400 -> 20480) lanes); the im2col form is exact-FLOP.
+  * y1p rows are GROUP-MAJOR WITH GUARD ROWS: row = g·(T2+1) + 1 + t2,
+    with row g·(T2+1) zero (the conv2 t2 = -1 edge) and the whole g = 0
+    block zero (the conv2 f2 = -1 edge). conv2's stride-2 time access is
+    an aligned lane-half slice, its frequency window a contiguous row
+    block — no strided access of any kind.
   * conv2 is 9 exact-FLOP matmuls per output group f2:
-        y2[f2] = sum_{kt,kf} y1p[2f2+kf-1][rows±1, parity-half(kt)] @ W2[kt,kf]
-    over a zero-padded group axis (f2 edges) and a zero top row (t2 edge).
+        y2[f2] = sum_{kt,kf} y1p[rows of group 2f2+kf-1 (±1), parity(kt)] @ W2[kt,kf]
   * The flatten + Dense out (F2·C → D) contraction is distributed into the
     f2 loop: out_acc += y2[f2] @ Wout[f2], with Wout's rows re-gathered
     host-side into the reference's channel-major flatten order (c·F2+f2).
@@ -114,24 +116,17 @@ def fold_subsample_weights(enc_p: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]
     bproj = _np(fp["projection"]["bias"])
     D = wout.shape[1]
 
-    # conv1 operators. y1[t1=2*t2+p, f', c] = sum_{kt,kf} mel[2*t1+kt-1,
-    # 2*f'+kf-1] * w1[kt,kf,0,c]. Mel row 2*t1+kt-1 = 4*t2 + (2p+kt-1):
-    # local rows 0..3 live in x4[t2] (lanes r*80+f), row -1 (p=0, kt=0) in
-    # x_tail_prev[t2] (mel row 4*t2-1).
-    B_op = np.zeros((F1, 4 * F, 2 * C), np.float32)
-    C_op = np.zeros((F1, F, C), np.float32)
-    for fp_ in range(F1):
-        for p in (0, 1):
-            for kt in range(3):
-                r = 2 * p + kt - 1              # local mel row in x4[t2]
-                for kf in range(3):
-                    f = 2 * fp_ + kf - 1
-                    if not (0 <= f < F):
-                        continue                # conv f-padding: zero
-                    if r < 0:
-                        C_op[fp_, f, :] = w1[kt, kf, 0, :]
-                    else:
-                        B_op[fp_, r * F + f, p * C : (p + 1) * C] = w1[kt, kf, 0, :]
+    # conv1 tap matrix. y1[t1=2*t2+p, g, c] = sum_{kt,kf} mel[4*t2 +
+    # (2p+kt-1), 2*g+kf-1] * w1[kt,kf,0,c]. Patch tap (r, kf) carries mel
+    # row 4*t2 + r - 1 (r in 0..4), so parity p contributes via kt = r - 2p:
+    # Wtap[(r,kf), p*C+c] = w1[r-2p, kf, 0, c] when 0 <= r-2p < 3.
+    Wtap = np.zeros((16, 2 * C), np.float32)    # 15 taps, padded to 16
+    for r in range(5):
+        for kf in range(3):
+            for p in (0, 1):
+                kt = r - 2 * p
+                if 0 <= kt < 3:
+                    Wtap[r * 3 + kf, p * C : (p + 1) * C] = w1[kt, kf, 0, :]
 
     # conv2 taps, ordered [kt*3+kf]: each (C, C).
     W2 = np.transpose(w2, (0, 1, 2, 3)).reshape(9, C, C)
@@ -141,8 +136,7 @@ def fold_subsample_weights(enc_p: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]
 
     bf = jnp.bfloat16
     return dict(
-        sub_B=jnp.asarray(B_op, bf),            # (F1, 320, 2C)
-        sub_C=jnp.asarray(C_op, bf),            # (F1, 80, C)
+        sub_B=jnp.asarray(Wtap, bf),            # (16, 2C)
         sub_b1=jnp.asarray(np.tile(b1, 2), bf).reshape(1, -1),  # (1, 2C)
         sub_W2=jnp.asarray(W2, bf),             # (9, C, C)
         sub_b2=jnp.asarray(b2, bf).reshape(1, -1),
@@ -156,78 +150,70 @@ def fold_subsample_weights(enc_p: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]
 
 
 def _subsample_kernel(
-    x4_ref, tail_ref, B_ref, C_ref, b1_ref, W2_ref, b2_ref,
+    patches_ref, B_ref, b1_ref, W2_ref, b2_ref,
     Wout_ref, bout_ref, lng_ref, lnb_ref, Wproj_ref, bproj_ref,
-    o_ref, y1p_ref, acc_ref,
+    o_ref, y1p_ref,
     *, T2: int, C: int, F1: int, F2: int, n_even: int, n_odd: int, eps: float,
+    ablate: str = "",
 ):
     f32, bf = jnp.float32, jnp.bfloat16
-    x4 = x4_ref[0].astype(bf)                   # (T2, 320)
-    tail = tail_ref[0].astype(bf)               # (T2, 80)
+    R = y1p_ref.shape[0]                        # padded (F1+1)*(T2+1) rows
+    G = T2 + 1                                  # rows per group incl. guard
+    ab = set(ablate.split(",")) if ablate else set()
+    gelu = (lambda z: z) if "no_gelu" in ab else _gelu_xla_bf16
 
-    # valid-row masks for conv1 output parities (rows >= T1_valid must be
-    # EXACT ZERO — the XLA path never computes them, and conv2's p=1 padding
-    # reads zeros there). lanes [0:C] hold even frames (valid t2 < n_even),
-    # lanes [C:2C] odd frames (valid t2 < n_odd).
-    row = jax.lax.broadcasted_iota(jnp.int32, (T2, 2 * C), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T2, 2 * C), 1)
-    bound = jnp.where(lane < C, n_even, n_odd)  # int select (bool-of-bool
-    valid = row < bound                         # select is unsupported)
+    # ---- conv1 (+bias, GELU): ONE exact-FLOP im2col MXU dot.
+    acc = jnp.dot(
+        patches_ref[0], B_ref[...], preferred_element_type=f32
+    )                                           # (R, 2C)
+    # XLA rounding order: fp32 matmul acc -> bf16, +bias (bf16 add), GELU on
+    # the bf16 value (bf16 op chain), -> bf16.
+    h = acc.astype(bf) + b1_ref[0][None, :]
+    h = gelu(h)
+    # Validity per row (guard rows, the zero g=0 block, rows >= T1_valid)
+    # and per output parity: lanes [0:C] hold even frames (valid t2 <
+    # n_even), lanes [C:2C] odd (t2 < n_odd). Rows the conv never produced
+    # must be EXACT ZERO — conv2's time/frequency padding reads them.
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    g_idx = row // G
+    t2 = row % G - 1
+    base_ok = (g_idx >= 1) & (g_idx <= F1) & (t2 >= 0)
+    m_even = base_ok & (t2 < n_even)
+    m_odd = base_ok & (t2 < n_odd)
+    zc = jnp.zeros((R, C), bf)
+    y1p_ref[:, :C] = jnp.where(m_even, h[:, :C], zc)
+    y1p_ref[:, C:] = jnp.where(m_odd, h[:, C:], zc)
 
-    # ---- conv1 (+bias, GELU) per frequency group, parity-packed output.
-    # y1p layout: (F1+1, 1+T2, 2C); group 0 and row 0 are zero pads for
-    # conv2's f2/t2 edges.
-    y1p_ref[0, :, :] = jnp.zeros((1 + T2, 2 * C), bf)
-
-    def c1_body(g, carry):
-        acc = jnp.dot(x4, B_ref[g], preferred_element_type=f32)   # (T2, 2C)
-        c_term = jnp.dot(tail, C_ref[g], preferred_element_type=f32)  # (T2, C)
-        # C-term contributes only to the even-parity half (lanes [0:C]).
-        acc = acc + jnp.concatenate(
-            [c_term, jnp.zeros_like(c_term)], axis=1
-        )
-        # XLA rounding order: fp32 matmul acc -> bf16, +bias (bf16 add),
-        # GELU on the bf16 value in fp32, -> bf16.
-        h = acc.astype(bf) + b1_ref[0][None, :]     # b1 pre-tiled to (2C,)
-        h = _gelu_xla_bf16(h)
-        h = jnp.where(valid, h, jnp.zeros_like(h))
-        y1p_ref[g + 1, 1:, :] = h
-        y1p_ref[g + 1, 0:1, :] = jnp.zeros((1, 2 * C), bf)
-        return carry
-
-    jax.lax.fori_loop(0, F1, c1_body, 0, unroll=False)
-
-    # ---- conv2 (+bias, GELU) + distributed out-dense contraction.
-    # Term (kt, kf) for output group f2 reads y1p group 2*f2+kf (with the
-    # +1 zero-pad offset this is index 2*f2+kf), rows [0:T2] for kt=0
-    # (frame 2*t2-1 = odd half of t2-1) and rows [1:1+T2] for kt=1,2,
-    # lane half by parity: kt=0 -> odd, kt=1 -> even, kt=2 -> odd.
-    def c2_body(f2, carry):
-        acc = jnp.zeros((T2, C), f32)
+    # ---- conv2 (+bias, GELU) + distributed out-dense contraction, fully
+    # unrolled with STATIC slices. Term (kt, kf) for output group f2 reads
+    # y1 group g = 2*f2+kf-1 — stored block s = g+1 (s=0 is the zero guard
+    # group), rows [s*G + t2] for kt=0 (frame 2*t2-1: the guard row at
+    # t2=0 is the time edge) and [s*G + 1 + t2] for kt=1,2, lane half by
+    # parity: kt=0 -> odd, kt=1 -> even, kt=2 -> odd.
+    out = jnp.zeros((T2, Wproj_ref.shape[0]), f32)
+    f2_range = () if "no_conv2" in ab else range(F2)
+    if "no_conv2" in ab:   # keep conv1 live for attribution benches
+        out = y1p_ref[1 : 1 + T2, :out.shape[1]].astype(f32)
+    for f2 in f2_range:
+        acc2 = jnp.zeros((T2, C), f32)
         for kt in range(3):
             lo = C if kt != 1 else 0
             r0 = 0 if kt == 0 else 1
             for kf in range(3):
-                g = 2 * f2 + kf
-                tap = y1p_ref[g, r0 : r0 + T2, lo : lo + C]
-                acc = acc + jnp.dot(
+                base = (2 * f2 + kf) * G + r0
+                tap = y1p_ref[base : base + T2, lo : lo + C]
+                acc2 = acc2 + jnp.dot(
                     tap, W2_ref[3 * kt + kf], preferred_element_type=f32
                 )
-        y2 = acc.astype(bf) + b2_ref[0][None, :]
-        y2 = _gelu_xla_bf16(y2)
-        acc_ref[...] = acc_ref[...] + jnp.dot(
-            y2, Wout_ref[f2], preferred_element_type=f32
-        )
-        return carry
-
-    acc_ref[...] = jnp.zeros(acc_ref.shape, f32)
-    jax.lax.fori_loop(0, F2, c2_body, 0, unroll=False)
+        y2 = acc2.astype(bf) + b2_ref[0][None, :]
+        y2 = gelu(y2)
+        out = out + jnp.dot(y2, Wout_ref[f2], preferred_element_type=f32)
 
     # ---- out bias, LayerNorm (fp32 stats), projection.
     # LayerNorm, replicating flax's rounding chain exactly: f32 stats with
     # use_fast_variance (E[x^2]-mu^2, clipped at 0), mul = rsqrt(var+eps) *
     # scale (f32 params), y = (x-mu)*mul + bias.
-    h = acc_ref[...].astype(bf) + bout_ref[0][None, :]
+    h = out.astype(bf) + bout_ref[0][None, :]
     hf = h.astype(f32)
     mu = jnp.mean(hf, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -235,8 +221,8 @@ def _subsample_kernel(
     )
     mul = jax.lax.rsqrt(var + eps) * lng_ref[0][None, :]
     h = ((hf - mu) * mul + lnb_ref[0][None, :]).astype(bf)
-    out = jnp.dot(h, Wproj_ref[...], preferred_element_type=f32)
-    o_ref[0, :, :] = out.astype(bf) + bproj_ref[0][None, :]
+    proj = jnp.dot(h, Wproj_ref[...], preferred_element_type=f32)
+    o_ref[0, :, :] = proj.astype(bf) + bproj_ref[0][None, :]
 
 
 def conv_subsample_fused(
@@ -246,6 +232,7 @@ def conv_subsample_fused(
     *,
     T2_pad: int,
     interpret: bool = False,
+    ablate: str = "",
 ) -> jnp.ndarray:
     """Run the fused subsampler. Returns (B, T2_pad, hidden) bf16; rows
     >= the XLA output length T2 are unspecified (callers mask by length).
@@ -269,20 +256,34 @@ def conv_subsample_fused(
         mel = jnp.pad(mel, ((0, 0), (0, rows_need - T_in), (0, 0)))
     else:
         mel = mel[:, :rows_need]
-    x4 = mel.reshape(B, T2_pad, 4 * F)
-    tail = mel[:, 3::4]                                  # (B, T2_pad, 80) = row 4*t2+3
-    tail_prev = jnp.pad(tail, ((0, 0), (1, 0), (0, 0)))[:, :-1]  # row 4*t2-1
+    # im2col patches (bandwidth-only XLA ops: 15 strided slices + stack +
+    # transpose). Tap (r, kf) of patch (g, t2) = mel[4*t2 + r - 1,
+    # 2*g + kf - 1]; the kernel contracts the 16 tap lanes with Wtap.
+    mel_ext = jnp.pad(mel, ((0, 0), (1, 0), (1, 1)))     # row 4t2+r, freq 2g+kf
+    taps = [
+        mel_ext[:, r::4][:, :T2_pad, kf : kf + 2 * F1 : 2]
+        for r in range(5)
+        for kf in range(3)
+    ]
+    pat = jnp.stack(taps, axis=-1)                       # (B, T2, F1, 15)
+    pat = jnp.pad(pat, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    pat = jnp.transpose(pat, (0, 2, 1, 3))               # (B, F1, T2, 16)
+    # guard rows: zero group g=0 block and a zero row above each group
+    pat = jnp.pad(pat, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    R = (F1 + 1) * (T2_pad + 1)
+    R_pad = -(-R // 8) * 8
+    patches = jnp.pad(
+        pat.reshape(B, R, 16), ((0, 0), (0, R_pad - R), (0, 0))
+    ).astype(jnp.bfloat16)
 
     w = fold_subsample_weights(enc_p, cfg)
-    names = ("sub_B", "sub_C", "sub_b1", "sub_W2", "sub_b2",
+    names = ("sub_B", "sub_b1", "sub_W2", "sub_b2",
              "sub_Wout", "sub_bout", "sub_ln_g", "sub_ln_b",
              "sub_Wproj", "sub_bproj")
     w_list = [w[n] for n in names]
 
     in_specs = [
-        pl.BlockSpec((1, T2_pad, 4 * F), lambda b: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T2_pad, F), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, R_pad, 16), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(a.shape, (lambda nd: (lambda b: (0,) * nd))(a.ndim),
@@ -294,6 +295,7 @@ def conv_subsample_fused(
         partial(
             _subsample_kernel, T2=T2_pad, C=C, F1=F1, F2=F2,
             n_even=n_even, n_odd=n_odd, eps=cfg.layer_norm_eps,
+            ablate=ablate,
         ),
         grid=(B,),
         in_specs=in_specs,
@@ -301,11 +303,10 @@ def conv_subsample_fused(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T2_pad, D), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((F1 + 1, 1 + T2_pad, 2 * C), jnp.bfloat16),
-            pltpu.VMEM((T2_pad, D), jnp.float32),
+            pltpu.VMEM((R_pad, 2 * C), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x4, tail_prev, *w_list)
+    )(patches, *w_list)

@@ -95,6 +95,18 @@ class ASRPipeline:
             if use_fused:
                 from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused
 
+                # Pallas mel front end on the fused path (same features to
+                # ~1e-5 rel — ops/pallas_features.py folds DC-removal and
+                # pre-emphasis into the windowed DFT bases); interpret-mode
+                # tests keep the XLA front end (identical numerics contract).
+                if not fused_interpret:
+                    from huggingface_asr_tpu.ops.pallas_features import (
+                        PallasLogMelFrontEnd,
+                    )
+                    frontend = PallasLogMelFrontEnd(
+                        LogMelConfig(num_mel_bins=config.num_fbanks)
+                    )
+
                 # bb (batch rows per kernel program) is picked per padded
                 # batch size in __call__; jit caches one program per (B, bb).
                 @partial(jax.jit, static_argnums=(3,))
