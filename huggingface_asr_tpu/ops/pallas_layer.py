@@ -253,41 +253,34 @@ def _mm(a, w_ref, b_ref=None):
     return out.astype(jnp.bfloat16)
 
 
-PAD_ALLOC = 16  # sublane padding rows above/below each batch's T rows
+PAD_ALLOC = 16  # max supported conv half-width ((K-1)/2 <= PAD_ALLOC)
 
 
-def _dwconv(x_bTC, w_ref, b_ref, pad_scratch, K, C, t_mask):
-    """Depthwise conv along T: zero-padded fp32 buffer + K static slice-FMAs.
+def _dwconv(x_bTC, w_ref, b_ref, K, t_mask):
+    """Depthwise conv along T: zero-padded fp32 VALUE + K static slice-FMAs.
 
-    x_bTC: (bb, T, C) bf16. pad_scratch: (bb, T + 2*PAD_ALLOC, >=C) f32 ref.
-    t_mask: (1, T, 1) bool (valid-frame rows) or None. Returns (bb, T, C)
-    float32 (accumulator — caller applies act/gate).
+    x_bTC: (bb, T, C) bf16. t_mask: (1, T, 1) bool (valid-frame rows) or
+    None. Returns (bb, T, C) float32 (accumulator — caller applies
+    act/gate). The padded buffer is an SSA value, not a scratch ref, so
+    independent kernel stages never serialize through a shared buffer —
+    the VLIW scheduler is free to overlap this (pure-VPU) conv with MXU
+    matmuls from other stages.
     """
-    bb, T, _ = x_bTC.shape
+    bb, T, C = x_bTC.shape
     P = (K - 1) // 2
-    # only the halo rows need zeroing — the [PAD_ALLOC, PAD_ALLOC+T) body is
-    # overwritten below and lanes >= C are never read
-    pad_scratch[:, :PAD_ALLOC, :C] = jnp.zeros((bb, PAD_ALLOC, C), jnp.float32)
-    pad_scratch[:, PAD_ALLOC + T :, :C] = jnp.zeros(
-        (bb, PAD_ALLOC, C), jnp.float32
-    )
     xf = x_bTC.astype(jnp.float32)
     if t_mask is not None:
         xf = jnp.where(t_mask, xf, 0.0)
-    pad_scratch[:, PAD_ALLOC : PAD_ALLOC + T, :C] = xf
+    xp = jnp.pad(xf, ((0, 0), (P, P), (0, 0)))
     acc = jnp.broadcast_to(b_ref[0, :].astype(jnp.float32), (bb, T, C))
     for j in range(K):
-        off = PAD_ALLOC + j - P
-        tap = pad_scratch[:, off : off + T, :C]
-        acc = acc + tap * w_ref[j, :].astype(jnp.float32)
+        acc = acc + xp[:, j : j + T, :] * w_ref[j, :].astype(jnp.float32)
     return acc
 
 
 def _layer_kernel(*refs, st: LayerStatic):
-    w = dict(zip(("x", "lens_vec") + WEIGHT_FIELDS, refs[: -3]))
-    o_ref = refs[-3]
-    attn_scratch = refs[-2]
-    pad_scratch = refs[-1]
+    w = dict(zip(("x", "lens_vec") + WEIGHT_FIELDS, refs[:-1]))
+    o_ref = refs[-1]
     T, D, H, dh, I, bb = st.T, st.D, st.H, st.dh, st.I, st.bb
     half = D // 2
     eps = st.eps
@@ -339,6 +332,14 @@ def _layer_kernel(*refs, st: LayerStatic):
     col = jax.lax.broadcasted_iota(jnp.int32, (bb, T, T), 2)
     kmask = col < w["lens_vec"][...]                   # (bb,1,1) vs (bb,T,T)
 
+    # Per-head chains are fully independent SSA values; the output
+    # projection is DISTRIBUTED per head (g_out = sum_h out_h @ Wo[lanes_h])
+    # — same FLOPs as the assembled (N, D) @ (D, D) matmul, but no shared
+    # assembly buffer, so head h+1's VPU work (q_rot build, softmax) can
+    # overlap head h's MXU dots in the VLIW schedule.
+    g_acc = jnp.broadcast_to(
+        w["bo"][0].astype(jnp.float32), (N, D)
+    )
     for hd in range(H) if "no_attn" not in ab else ():
         lanes = slice(hd * dh, (hd + 1) * dh)
         # low-rank positional coefficients: qv_h @ Wp_h^T, K = dh
@@ -374,9 +375,13 @@ def _layer_kernel(*refs, st: LayerStatic):
             preferred_element_type=jnp.float32,
         )                                              # (bb, T, dh)
         out_h = out_h * (1.0 / z)                      # normalize post-PV
-        attn_scratch[:, lanes] = out_h.astype(jnp.bfloat16).reshape(N, dh)
+        g_acc = g_acc + jnp.dot(
+            out_h.astype(jnp.bfloat16).reshape(N, dh),
+            w["wo"][hd * dh : (hd + 1) * dh, :],
+            preferred_element_type=jnp.float32,
+        )
 
-    g_out = _mm(attn_scratch[...], w["wo"], w["bo"])  # (N, D)
+    g_out = g_acc.astype(jnp.bfloat16)                # (N, D)
 
     # ---- cgMLP branch
     l = _ln(x, w["cg_ln_g"], w["cg_ln_b"], eps)
@@ -390,8 +395,8 @@ def _layer_kernel(*refs, st: LayerStatic):
         gated = x_r * x_g
     else:
         acc = _dwconv(
-            x_g.reshape(bb, T, C), w["csgu_dw"], w["csgu_dw_b"], pad_scratch,
-            st.k_csgu, C, t_mask,
+            x_g.reshape(bb, T, C), w["csgu_dw"], w["csgu_dw_b"],
+            st.k_csgu, t_mask,
         )
         if st.has_csgu_linear:
             t = _mm(acc.astype(jnp.bfloat16).reshape(N, C),
@@ -407,7 +412,7 @@ def _layer_kernel(*refs, st: LayerStatic):
     if "no_dwconv" not in ab:
         fused = _dwconv(
             merged.reshape(bb, T, 2 * D), w["merge_dw"], w["merge_dw_b"],
-            pad_scratch, st.k_merge, 2 * D, t_mask,
+            st.k_merge, t_mask,
         ).astype(jnp.bfloat16).reshape(N, 2 * D)
         merged = merged + fused
     x = (
@@ -596,12 +601,6 @@ def ebranchformer_layer(
             (bb, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),
-        scratch_shapes=[
-            pltpu.VMEM((bb * T, D), jnp.bfloat16),  # attention head assembly
-            pltpu.VMEM(                             # shared dwconv pad buffer
-                (bb, T + 2 * PAD_ALLOC, max(st.I // 2, 2 * D)), jnp.float32
-            ),
-        ],
         compiler_params=pltpu.CompilerParams(
             # The whole layer's live intermediates exceed the conservative
             # 16 MB default scoped-vmem limit; v5e has far more physical VMEM.

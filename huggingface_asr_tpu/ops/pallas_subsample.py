@@ -20,13 +20,19 @@ Design (all matmuls MXU-shaped, no strided vector access anywhere):
     output parities (lanes [0:C] = even frame 2·t2, lanes [C:2C] = odd
     frame 2·t2+1). A dense folded operator here would burn 45x the conv's
     FLOPs ((400 -> 20480) lanes); the im2col form is exact-FLOP.
-  * y1p rows are GROUP-MAJOR WITH GUARD ROWS: row = g·(T2+1) + 1 + t2,
-    with row g·(T2+1) zero (the conv2 t2 = -1 edge) and the whole g = 0
-    block zero (the conv2 f2 = -1 edge). conv2's stride-2 time access is
-    an aligned lane-half slice, its frequency window a contiguous row
-    block — no strided access of any kind.
+  * y1 groups are SSA VALUES, not a scratch ref: each group's conv1 dot +
+    GELU is traced lazily at its first conv2 use, so the only edges between
+    the conv1 chain (VPU-heavy: ~7 ms of GELU per B=128 batch) and the
+    conv2 chain (MXU-heavy: ~7 ms of dots) are true data dependencies.
+    The Mosaic scheduler can then OVERLAP group 2·f2+3's GELU with output
+    group f2's matmuls — a ref-based staging buffer would serialize the two
+    phases through write→read ref order. conv2's stride-2 time access is a
+    lane-half split of the group value; the kt=0 (frame 2·t2-1) tap is a
+    one-row shifted copy made once per group.
   * conv2 is 9 exact-FLOP matmuls per output group f2:
-        y2[f2] = sum_{kt,kf} y1p[rows of group 2f2+kf-1 (±1), parity(kt)] @ W2[kt,kf]
+        y2[f2] = sum_{kt,kf} y1[group 2f2+kf-1][rows(kt), parity(kt)] @ W2[kt,kf]
+    with out-of-range groups (f2 edges) skipped outright — no zero-padding
+    FLOPs.
   * The flatten + Dense out (F2·C → D) contraction is distributed into the
     f2 loop: out_acc += y2[f2] @ Wout[f2], with Wout's rows re-gathered
     host-side into the reference's channel-major flatten order (c·F2+f2).
@@ -152,59 +158,65 @@ def fold_subsample_weights(enc_p: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]
 def _subsample_kernel(
     patches_ref, B_ref, b1_ref, W2_ref, b2_ref,
     Wout_ref, bout_ref, lng_ref, lnb_ref, Wproj_ref, bproj_ref,
-    o_ref, y1p_ref,
+    o_ref,
     *, T2: int, C: int, F1: int, F2: int, n_even: int, n_odd: int, eps: float,
     ablate: str = "",
 ):
     f32, bf = jnp.float32, jnp.bfloat16
-    R = y1p_ref.shape[0]                        # padded (F1+1)*(T2+1) rows
-    G = T2 + 1                                  # rows per group incl. guard
+    G = T2                                      # rows per group block
     ab = set(ablate.split(",")) if ablate else set()
     gelu = (lambda z: z) if "no_gelu" in ab else _gelu_xla_bf16
 
-    # ---- conv1 (+bias, GELU): ONE exact-FLOP im2col MXU dot.
-    acc = jnp.dot(
-        patches_ref[0], B_ref[...], preferred_element_type=f32
-    )                                           # (R, 2C)
-    # XLA rounding order: fp32 matmul acc -> bf16, +bias (bf16 add), GELU on
-    # the bf16 value (bf16 op chain), -> bf16.
-    h = acc.astype(bf) + b1_ref[0][None, :]
-    h = gelu(h)
-    # Validity per row (guard rows, the zero g=0 block, rows >= T1_valid)
-    # and per output parity: lanes [0:C] hold even frames (valid t2 <
+    # Validity masks: lanes [0:C] of a group hold even frames (valid t2 <
     # n_even), lanes [C:2C] odd (t2 < n_odd). Rows the conv never produced
-    # must be EXACT ZERO — conv2's time/frequency padding reads them.
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    g_idx = row // G
-    t2 = row % G - 1
-    base_ok = (g_idx >= 1) & (g_idx <= F1) & (t2 >= 0)
-    m_even = base_ok & (t2 < n_even)
-    m_odd = base_ok & (t2 < n_odd)
-    zc = jnp.zeros((R, C), bf)
-    y1p_ref[:, :C] = jnp.where(m_even, h[:, :C], zc)
-    y1p_ref[:, C:] = jnp.where(m_odd, h[:, C:], zc)
+    # must be EXACT ZERO — conv2's time padding reads them.
+    row = jax.lax.broadcasted_iota(jnp.int32, (G, C), 0)
+    m_even = row < n_even
+    m_odd = row < n_odd
+    zc = jnp.zeros((G, C), bf)
+
+    # ---- conv1 (+bias, GELU) per frequency group, traced lazily at first
+    # conv2 use. XLA rounding order: fp32 matmul acc -> bf16, +bias (bf16
+    # add), GELU on the bf16 value (bf16 op chain), -> bf16. Returns the
+    # (even, odd, odd-shifted-up) lane halves; odd_up[t2] = odd frame
+    # 2*t2-1 (the kt=0 tap), zero at the t2=0 time edge.
+    memo: Dict[int, Any] = {}
+
+    def y1(g: int):
+        if g < 0 or g >= F1:
+            return None
+        if g not in memo:
+            acc = jnp.dot(
+                patches_ref[0, g * G : (g + 1) * G, :], B_ref[...],
+                preferred_element_type=f32,
+            )                                   # (G, 2C)
+            h = acc.astype(bf) + b1_ref[0][None, :]
+            h = gelu(h)
+            ev = jnp.where(m_even, h[:, :C], zc)
+            od = jnp.where(m_odd, h[:, C:], zc)
+            od_up = jnp.concatenate([zc[:1], od[:-1]], axis=0)
+            memo[g] = (ev, od, od_up)
+        return memo[g]
 
     # ---- conv2 (+bias, GELU) + distributed out-dense contraction, fully
-    # unrolled with STATIC slices. Term (kt, kf) for output group f2 reads
-    # y1 group g = 2*f2+kf-1 — stored block s = g+1 (s=0 is the zero guard
-    # group), rows [s*G + t2] for kt=0 (frame 2*t2-1: the guard row at
-    # t2=0 is the time edge) and [s*G + 1 + t2] for kt=1,2, lane half by
-    # parity: kt=0 -> odd, kt=1 -> even, kt=2 -> odd.
+    # unrolled. Term (kt, kf) for output group f2 reads y1 group
+    # g = 2*f2+kf-1: kt=0 -> odd frame 2*t2-1 (odd_up), kt=1 -> even frame
+    # 2*t2, kt=2 -> odd frame 2*t2+1.
     out = jnp.zeros((T2, Wproj_ref.shape[0]), f32)
     f2_range = () if "no_conv2" in ab else range(F2)
-    if "no_conv2" in ab:   # keep conv1 live for attribution benches
-        out = y1p_ref[1 : 1 + T2, :out.shape[1]].astype(f32)
+    if "no_conv2" in ab:   # keep all conv1 work live for attribution benches
+        for g in range(F1):
+            out = out + y1(g)[0][:, : out.shape[1]].astype(f32)
     for f2 in f2_range:
         acc2 = jnp.zeros((T2, C), f32)
-        for kt in range(3):
-            lo = C if kt != 1 else 0
-            r0 = 0 if kt == 0 else 1
-            for kf in range(3):
-                base = (2 * f2 + kf) * G + r0
-                tap = y1p_ref[base : base + T2, lo : lo + C]
-                acc2 = acc2 + jnp.dot(
-                    tap, W2_ref[3 * kt + kf], preferred_element_type=f32
-                )
+        for kf in range(3):
+            v = y1(2 * f2 + kf - 1)
+            if v is None:
+                continue                        # f2 edge: zero group
+            ev, od, od_up = v
+            acc2 = acc2 + jnp.dot(od_up, W2_ref[0 + kf], preferred_element_type=f32)
+            acc2 = acc2 + jnp.dot(ev, W2_ref[3 + kf], preferred_element_type=f32)
+            acc2 = acc2 + jnp.dot(od, W2_ref[6 + kf], preferred_element_type=f32)
         y2 = acc2.astype(bf) + b2_ref[0][None, :]
         y2 = gelu(y2)
         out = out + jnp.dot(y2, Wout_ref[f2], preferred_element_type=f32)
@@ -268,13 +280,8 @@ def conv_subsample_fused(
     pat = jnp.stack(taps, axis=-1)                       # (B, T2, F1, 15)
     pat = jnp.pad(pat, ((0, 0), (0, 0), (0, 0), (0, 1)))
     pat = jnp.transpose(pat, (0, 2, 1, 3))               # (B, F1, T2, 16)
-    # guard rows: zero group g=0 block and a zero row above each group
-    pat = jnp.pad(pat, ((0, 0), (1, 0), (1, 0), (0, 0)))
-    R = (F1 + 1) * (T2_pad + 1)
-    R_pad = -(-R // 8) * 8
-    patches = jnp.pad(
-        pat.reshape(B, R, 16), ((0, 0), (0, R_pad - R), (0, 0))
-    ).astype(jnp.bfloat16)
+    R_pad = F1 * T2_pad                                  # T2_pad is 8-aligned
+    patches = pat.reshape(B, R_pad, 16).astype(jnp.bfloat16)
 
     w = fold_subsample_weights(enc_p, cfg)
     names = ("sub_B", "sub_b1", "sub_W2", "sub_b2",
@@ -302,9 +309,6 @@ def conv_subsample_fused(
         out_specs=pl.BlockSpec((1, T2_pad, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T2_pad, D), jnp.bfloat16),
-        scratch_shapes=[
-            pltpu.VMEM((R_pad, 2 * C), jnp.bfloat16),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
