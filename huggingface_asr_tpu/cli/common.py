@@ -15,7 +15,31 @@ from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
 logger = logging.getLogger(__name__)
 
 
+def setup_compile_cache(cache_dir: Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache for every CLI entry point.
+
+    XLA whole-model compiles dominate small-job startup (2–5 min for a train
+    step through a remote-TPU transport); the persistent cache drops warm
+    starts to seconds. The torch reference has no analogue (eager mode);
+    this is the TPU-native equivalent of "no compile on restart".
+    Default dir: $HF_ASR_COMPILE_CACHE or ~/.cache/hf_asr_tpu_xla.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "HF_ASR_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "hf_asr_tpu_xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.warning("compile cache disabled: %s", e)
+
+
 def setup_logging(output_dir: Optional[str] = None, level=logging.INFO):
+    setup_compile_cache()
     handlers = [logging.StreamHandler()]
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
