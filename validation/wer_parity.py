@@ -31,12 +31,12 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def build_data(work: str, n_train: int, n_eval: int):
+def build_data(work: str, n_train: int, n_eval: int, hard: bool = False):
     from huggingface_asr_tpu.data.synthetic_speech import build_corpus
 
-    ds_dir = os.path.join(work, "ds")
+    ds_dir = os.path.join(work, "ds_hard" if hard else "ds")
     if not os.path.exists(ds_dir):
-        build_corpus(ds_dir, n_train=n_train, n_eval=n_eval, seed=0)
+        build_corpus(ds_dir, n_train=n_train, n_eval=n_eval, seed=0, hard=hard)
     return ds_dir
 
 
@@ -185,7 +185,15 @@ def fused_decode(ds_dir: str, tok_dir: str, ckpt: str):
     config = load_config(final, EBranchformerConfig)
     params = load_params(final)
     tok = AutoTokenizer.from_pretrained(tok_dir)
-    frontend = LogMelFrontEnd(LogMelConfig())
+    # Pallas mel front end — the SAME front end serving/pipeline.py uses on
+    # the fused TPU path, so this validates mel kernel + subsampler kernel +
+    # layer kernel end to end on trained weights.
+    try:
+        from huggingface_asr_tpu.ops.pallas_features import PallasLogMelFrontEnd
+
+        frontend = PallasLogMelFrontEnd(LogMelConfig())
+    except NotImplementedError:
+        frontend = LogMelFrontEnd(LogMelConfig())
 
     dd = datasets.load_from_disk(ds_dir)["test"]
     wavs = [np.asarray(ex["audio"], np.float32) for ex in dd]
@@ -217,6 +225,9 @@ def main(argv=None):
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint in work_dir")
+    ap.add_argument("--hard", action="store_true",
+                    help="discriminative corpus (WER > 0): both stacks must "
+                         "agree on ERRORS, not just on easy wins")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -225,7 +236,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(args.work_dir, exist_ok=True)
-    ds_dir = build_data(args.work_dir, args.n_train, args.n_eval)
+    ds_dir = build_data(args.work_dir, args.n_train, args.n_eval, args.hard)
     tok_dir = train_tokenizer(args.work_dir, ds_dir, args.vocab)
 
     ckpt = os.path.join(args.work_dir, "ctc")
@@ -274,8 +285,23 @@ def main(argv=None):
         )
         report["fused_kernel_wer"] = round(float(fused_wer), 4)
         report["fused_kernel_identical_vs_reference"] = f"{n_fused}/{len(refs)}"
+        report["fused_frontend"] = "pallas_mel"
+    report["corpus"] = "hard" if args.hard else "easy"
     with open(os.path.join(args.work_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
+    # merge into the repo-level parity report (shared with aed_parity.py)
+    repo_report = os.path.join(REPO, "validation", "wer_parity_report.json")
+    merged = {}
+    if os.path.exists(repo_report):
+        with open(repo_report) as f:
+            merged = json.load(f)
+    key = "ctc_greedy_hard" if args.hard else None
+    if key:
+        merged[key] = report
+    else:
+        merged.update(report)
+    with open(repo_report, "w") as f:
+        json.dump(merged, f, indent=2)
     print(json.dumps(report, indent=2))
     print("\n| metric | ours (JAX/TPU-native) | torch reference |")
     print("|---|---|---|")
