@@ -132,7 +132,9 @@ def ours_decode(work, ds_dir, tok_dir):
     feats, flens = frontend(jnp.asarray(batchw), jnp.asarray(lens))
     cfg = BeamSearchConfig(
         num_beams=NUM_BEAMS, max_length=MAX_LEN, ctc_weight=CTC_WEIGHT,
-        num_candidates=32, bos_token_id=ids["bos"], eos_token_id=ids["eos"],
+        # K-1 = V: score EVERY token through the CTC prefix scorer, like
+        # the reference rescorer (no candidate preselection in generate()).
+        num_candidates=41, bos_token_id=ids["bos"], eos_token_id=ids["eos"],
         pad_token_id=ids["pad"],
     )
     t0 = time.perf_counter()
@@ -191,8 +193,16 @@ def reference_decode(work, ds_dir, tok_dir):
         feat_proj_dropout=0.0, final_dropout=0.0, layerdrop=0.0,
         ebranchformer_conv_dropout=0.0, pad_token_id=ids["pad"],
     )
+    # The reference mixes decoder scores with CTC scores of width V+1
+    # (encoder logits carry a trailing blank — e_branchformer.py:457), and
+    # its rescorer uses generation pad_token_id as the CTC blank
+    # (ctc_scorer.py:278-283 + :325). The only self-consistent reference
+    # configuration is therefore: decoder vocab V+1 with a PHANTOM last row
+    # (never trained, masked every step by the reference's own
+    # scores[:, pad] = logzero), and generation pad_token_id = V = blank.
+    # We pad the exported decoder with a zero row below.
     hf_dec_cfg = GPT2MultiHeadConfig(
-        vocab_size=dec_c.vocab_size, n_positions=dec_c.n_positions,
+        vocab_size=dec_c.vocab_size + 1, n_positions=dec_c.n_positions,
         n_embd=dec_c.n_embd, n_layer=dec_c.n_layer, n_head=dec_c.n_head,
         n_inner=dec_c.n_inner, add_cross_attention=True,
         head_locations=list(dec_c.head_locations),
@@ -211,6 +221,10 @@ def reference_decode(work, ds_dir, tok_dir):
     ref = RefJoint(config=joint_cfg, encoder=enc, decoder=dec)
 
     sd = export_joint(params, enc_c, dec_c)
+    # phantom pad/blank row for the V+1-wide reference decoder (see above)
+    for key in ("decoder.transformer.wte.weight", "decoder.lm_head.weight"):
+        wv = np.asarray(sd[key])
+        sd[key] = np.concatenate([wv, np.zeros((1, wv.shape[1]), wv.dtype)], 0)
     missing, unexpected = ref.load_state_dict(
         {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, strict=False
     )
@@ -219,10 +233,11 @@ def reference_decode(work, ds_dir, tok_dir):
     assert not unexpected, f"unexpected keys: {unexpected[:8]}"
     ref.eval()
 
+    blank = dec_c.vocab_size                  # trailing-blank convention
     gen_cfg = GenerationConfigCustom(
         num_beams=NUM_BEAMS, ctc_weight=CTC_WEIGHT, ctc_margin=0,
         max_length=MAX_LEN, bos_token_id=ids["bos"], eos_token_id=ids["eos"],
-        pad_token_id=ids["pad"], decoder_start_token_id=ids["bos"],
+        pad_token_id=blank, decoder_start_token_id=ids["bos"],
         early_stopping=False, length_penalty=1.0, do_sample=False,
     )
 
