@@ -127,6 +127,7 @@ class _BeamState(NamedTuple):
     finished_scores: jnp.ndarray  # (B, W) length-penalized
     finished_components: jnp.ndarray  # (B, W, 3)
     finished_mask: jnp.ndarray  # (B, W) slot filled
+    done: jnp.ndarray  # (B,) HF is_done: batch frozen (no further updates)
 
 
 def _gather_beams(tree, beam_idx_flat):
@@ -206,6 +207,7 @@ def joint_beam_search(
         finished_scores=jnp.full((B, W), NEG_INF, jnp.float32),
         finished_components=jnp.zeros((B, W, 3), jnp.float32),
         finished_mask=jnp.zeros((B, W), bool),
+        done=jnp.zeros((B,), bool),
     )
 
     def one_step(state: _BeamState, _):
@@ -300,10 +302,17 @@ def joint_beam_search(
         new_components = src_components + comp_of
         is_eos = tok_of == cfg.eos_token_id
 
-        # ----- update finished set with EOS candidates
-        lp_len = (t + 2).astype(jnp.float32)  # bos + generated incl. eos
+        # ----- update finished set with EOS candidates.
+        # HF BeamSearchScorer.process semantics, replicated exactly:
+        #   * only eos candidates ranked < num_beams among the 2W enter the
+        #     finished set (`if beam_token_rank >= self.group_size: continue`)
+        #   * the length-penalty denominator is input_ids.shape[-1] at add()
+        #     time = bos + generated tokens, EXCLUDING the eos itself = t+1.
+        rank_lt_w = jnp.arange(2 * W)[None, :] < W
+        eos_eligible = is_eos & rank_lt_w
+        lp_len = (t + 1).astype(jnp.float32)  # HF cur_len: bos + generated
         fin_cand_scores = jnp.where(
-            is_eos, top_scores / (lp_len ** cfg.length_penalty), NEG_INF
+            eos_eligible, top_scores / (lp_len ** cfg.length_penalty), NEG_INF
         )
         src_tokens = jnp.take_along_axis(
             state.alive_tokens, beam_of[..., None], axis=1
@@ -315,7 +324,7 @@ def joint_beam_search(
         all_fin_components = jnp.concatenate(
             [state.finished_components, new_components], axis=1
         )
-        all_fin_mask = jnp.concatenate([state.finished_mask, is_eos], axis=1)
+        all_fin_mask = jnp.concatenate([state.finished_mask, eos_eligible], axis=1)
         fin_top, fin_idx = jax.lax.top_k(
             jnp.where(all_fin_mask, all_fin_scores, NEG_INF), W
         )
@@ -356,50 +365,62 @@ def joint_beam_search(
                 alv_tok.reshape(BW),
             )
 
-        return (
-            _BeamState(
-                step=t + 1,
-                alive_tokens=new_alive_tokens,
-                alive_scores=alv_top,
-                alive_components=alv_components,
-                cache=new_cache,
-                lm_cache=new_lm_cache,
-                ctc_state=new_ctc_state,
-                finished_tokens=new_finished_tokens,
-                finished_scores=fin_top,
-                finished_components=new_finished_components,
-                finished_mask=new_finished_mask,
-            ),
-            None,
+        # HF is_done (early_stopping=False): finished set full AND the worst
+        # finished score >= the best attainable continuation, where HF's
+        # attainable bound is best_next_candidate_sum / cur_len**penalty with
+        # cur_len = t+1 (BeamHypotheses.is_done). Once done, the batch is
+        # FROZEN (HF process() skips done batches) — later, better finishes
+        # must NOT be taken, or results diverge from the reference.
+        best_next = jnp.max(top_scores, axis=1)  # (B,)
+        worst_fin = jnp.min(
+            jnp.where(new_finished_mask, fin_top, NEG_INF), axis=1
         )
+        done_now = jnp.all(new_finished_mask, axis=1) & (
+            worst_fin >= best_next / (lp_len ** cfg.length_penalty)
+        )
+        frozen = state.done  # done at ENTRY: this step's updates are void
+
+        def keep(old, new):
+            d = frozen.reshape((B,) + (1,) * (new.ndim - 1))
+            return jnp.where(d, old, new)
+
+        new_state = _BeamState(
+            step=t + 1,
+            alive_tokens=keep(state.alive_tokens, new_alive_tokens),
+            alive_scores=keep(state.alive_scores, alv_top),
+            alive_components=keep(state.alive_components, alv_components),
+            cache=new_cache,
+            lm_cache=new_lm_cache,
+            ctc_state=new_ctc_state,
+            finished_tokens=keep(state.finished_tokens, new_finished_tokens),
+            finished_scores=keep(state.finished_scores, fin_top),
+            finished_components=keep(
+                state.finished_components, new_finished_components
+            ),
+            finished_mask=keep(state.finished_mask, new_finished_mask),
+            done=state.done | done_now,
+        )
+        return new_state, None
 
     if cfg.early_exit:
-
-        def not_done(s: _BeamState):
-            t = s.step
-            best_alive = jnp.max(s.alive_scores, axis=1)  # (B,) raw sums
-            # Best attainable penalized score for any continuation: future
-            # log-prob increments are <= 0, so the raw sum only decreases;
-            # the penalized value sum/len**p is maximized either now
-            # (len = t+2, for positive sums) or at max length (len = L, for
-            # negative sums). Taking the max of both covers either sign —
-            # conservative, so early exit is result-identical to the full
-            # scan (HF's early_stopping="never" bound).
-            lp_now = (t + 2).astype(jnp.float32) ** cfg.length_penalty
-            lp_max = jnp.float32(L) ** cfg.length_penalty
-            bound = jnp.maximum(best_alive / lp_now, best_alive / lp_max)
-            worst_fin = jnp.min(
-                jnp.where(s.finished_mask, s.finished_scores, NEG_INF), axis=1
-            )
-            done = jnp.all(s.finished_mask, axis=1) & (worst_fin >= bound)
-            return (t < L - 1) & ~jnp.all(done)
-
-        state = jax.lax.while_loop(not_done, lambda s: one_step(s, None)[0], state)
+        # done-freezing makes the while_loop RESULT-IDENTICAL to the full
+        # scan: once every batch is done (HF is_done), further steps are
+        # no-ops, so skipping them saves wall-clock only.
+        state = jax.lax.while_loop(
+            lambda s: (s.step < L - 1) & ~jnp.all(s.done),
+            lambda s: one_step(s, None)[0],
+            state,
+        )
     else:
         state, _ = jax.lax.scan(one_step, state, None, length=L - 1)
 
-    # Finalize: fold still-alive beams in for batches with open slots.
-    alive_final = state.alive_scores / (jnp.float32(L) ** cfg.length_penalty)
+    # Finalize: fold still-alive beams in for batches with open slots (HF
+    # finalize skips done batches entirely — their alive beams are stale).
+    alive_final = jnp.where(
+        state.done[:, None],
+        NEG_INF,
+        state.alive_scores / (jnp.float32(L) ** cfg.length_penalty),
+    )
     all_scores = jnp.concatenate(
         [jnp.where(state.finished_mask, state.finished_scores, NEG_INF), alive_final],
         axis=1,

@@ -234,6 +234,23 @@ def reference_decode(work, ds_dir, tok_dir):
     ref.eval()
 
     blank = dec_c.vocab_size                  # trailing-blank convention
+
+    # The phantom column's logit is 0 (zero weight row, no head bias), so
+    # HF's log_softmax over V+1 would shift every real score by a per-beam
+    # -log(1 + e^-lse) — a systematic divergence from the true V-way
+    # distribution. Renormalize it out EXACTLY before the reference's
+    # rescorer runs: s' = s - log1p(-e^{s_phantom}).
+    from transformers import LogitsProcessor, LogitsProcessorList
+
+    class _PhantomColRenorm(LogitsProcessor):
+        def __call__(self, input_ids, scores):
+            ph = scores[:, blank].clone()
+            scores = scores - torch.log1p(
+                -torch.exp(ph).clamp(max=1 - 1e-7)
+            ).unsqueeze(1)
+            scores[:, blank] = -1e10
+            return scores
+
     gen_cfg = GenerationConfigCustom(
         num_beams=NUM_BEAMS, ctc_weight=CTC_WEIGHT, ctc_margin=0,
         max_length=MAX_LEN, bos_token_id=ids["bos"], eos_token_id=ids["eos"],
@@ -264,7 +281,8 @@ def reference_decode(work, ds_dir, tok_dir):
         t0 = time.perf_counter()
         with torch.no_grad():
             out = ref.generate(
-                inputs=f, attention_mask=mask, generation_config=gen_cfg
+                inputs=f, attention_mask=mask, generation_config=gen_cfg,
+                logits_processor=LogitsProcessorList([_PhantomColRenorm()]),
             )
         dec_sec += time.perf_counter() - t0
         for row in out:
