@@ -165,8 +165,16 @@ class FeatureProjection(nn.Module):
 
 
 def relative_positional_embeddings(seq_len: int, d_model: int, dtype=jnp.float32):
-    """Transformer-XL table: positions T-1 .. -(T-1), shape (2T-1, d_model)."""
-    pos = np.arange(seq_len - 1, -seq_len, -1, dtype=np.float64)[:, None]
+    """Transformer-XL table, shape (2T-1, d_model): row i holds the sinusoid
+    at relative position i - (T-1), so the gather row (t-s) + (T-1) yields
+    PE[t-s] — POSITIVE offsets for keys to the LEFT of the query, matching
+    the reference (HF Wav2Vec2ConformerRelPositionalEmbedding.extend_pe:
+    "positive relative positions when keys are to the left (i>j)"). The
+    round-2 table ran the OPPOSITE direction (PE[s-t]); invisible at init
+    (HF scales linear_pos to std 0.02, bd ~1e-4) but a real mirror-image
+    positional term on trained weights — caught by joint beam-search
+    transcript parity in round 3."""
+    pos = np.arange(-(seq_len - 1), seq_len, dtype=np.float64)[:, None]
     div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(np.log(10000.0) / d_model))
     table = np.zeros((2 * seq_len - 1, d_model), dtype=np.float64)
     table[:, 0::2] = np.sin(pos * div)
@@ -183,8 +191,9 @@ def rotary_cos_sin(seq_len: int, head_size: int, base: int = 10000, dtype=jnp.fl
 
 def _rel_shift(scores_bd: jnp.ndarray) -> jnp.ndarray:
     """Transformer-XL shift: (B, H, T, 2T-1) -> (B, H, T, T) with
-    out[t, s] = in[t, t - s + T - 1] (our pos table runs positions
-    T-1..-(T-1)). Realized as reverse + pad + two reshapes — no gather."""
+    out[t, s] = in[t, t - s + T - 1] — with the ascending pos table
+    (row i = position i - (T-1)) this selects PE[t - s], the reference
+    convention. Realized as reverse + pad + two reshapes — no gather."""
     B, H, T, L = scores_bd.shape
     rev = scores_bd[..., ::-1]
     padded = jnp.pad(rev, ((0, 0), (0, 0), (0, 0), (0, 1)))  # (B,H,T,2T)
@@ -252,8 +261,12 @@ class EBranchformerSelfAttention(nn.Module):
                 r_cos = cos_t[None, :, None, :]
                 r_sin = sin_t[None, :, None, :]
                 qe, qo = qw[..., 0::2], qw[..., 1::2]
+                # PE[t-s] (reference convention): sin(w(t-s)) = sin(wt)cos(ws)
+                # - cos(wt)sin(ws), cos(w(t-s)) = cos(wt)cos(ws) +
+                # sin(wt)sin(ws) -> sin-half coeff qo*sin - qe*cos, cos-half
+                # qe*sin + qo*cos (the PE[s-t] form differs by qe -> -qe).
                 q_rot = jnp.concatenate(
-                    [r_cos * qe + r_sin * qo, r_cos * qo - r_sin * qe], axis=-1
+                    [r_sin * qo - r_cos * qe, r_sin * qe + r_cos * qo], axis=-1
                 )  # (B, T, H, D): [rotated-sin | rotated-cos] halves
                 k_std = jnp.concatenate([sin_t, cos_t], axis=-1)  # (T, D)
                 scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)

@@ -476,7 +476,12 @@ def fold_layer_weights(
     # strided lane slicing.
     wp_r = wp.reshape(D, H, dh)                            # (Dout, H, dh)
     wp_t = jnp.transpose(wp_r, (1, 2, 0))                  # (H, dh, Dout)
-    wp_e = wp_t[:, :, 0::2].astype(bf)                     # (H, dh, D/2)
+    # NEGATED sin-half: the kernel computes q_rot = [cos*ce + sin*co,
+    # cos*co - sin*ce]; with ce built from -wp_e this equals the PE[t-s]
+    # (reference-convention) factorization [sin*co - cos*ce', sin*ce' +
+    # cos*co] for ce' = qv @ wp_e — see models/ebranchformer.py factored
+    # path. Keeps the kernel body unchanged.
+    wp_e = (-wp_t[:, :, 0::2]).astype(bf)                  # (H, dh, D/2)
     wp_o = wp_t[:, :, 1::2].astype(bf)
 
     half = np.exp(np.arange(0, D, 2, dtype=np.float64) * -(np.log(10000.0) / D))

@@ -143,6 +143,17 @@ def test_golden_parity_vs_reference(pos_type):
     )
     torch.manual_seed(0)
     ref = Wav2Vec2EBranchformerForCTC(hf_cfg)
+    # HF's _init_weights scales linear_pos to std 0.02, making the
+    # positional bd term ~1e-4 at init — too small for this test to
+    # discriminate the relative-offset SIGN convention (a mirror-imaged
+    # PE[s-t] table passed this test for two rounds). Scale the positional
+    # path up to trained-model magnitudes so the convention is asserted.
+    if pos_type == "relative":
+        with torch.no_grad():
+            for lyr in ref.wav2vec2.encoder.layers:
+                lyr.self_attn.linear_pos.weight.mul_(20.0)
+                lyr.self_attn.pos_bias_u.normal_(std=0.5)
+                lyr.self_attn.pos_bias_v.normal_(std=0.5)
     ref.eval()
 
     rng = np.random.default_rng(4)

@@ -269,7 +269,7 @@ def reference_decode(work, ds_dir, tok_dir):
     flens = np.asarray(flens)
 
     hyps, dec_sec = [], 0.0
-    bs = 8
+    bs = int(os.environ.get("AED_PARITY_REF_BS", "8"))
     for i in range(0, len(refs), bs):
         f = torch.tensor(feats[i : i + bs])
         fl = flens[i : i + bs]
