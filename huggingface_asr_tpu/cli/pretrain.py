@@ -28,7 +28,10 @@ from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
 from huggingface_asr_tpu.data.datasets import DataConfig, get_dataset
 from huggingface_asr_tpu.models.bestrq import BestRQForPreTraining
 from huggingface_asr_tpu.models.configs import EBranchformerConfig, parse_dtype
-from huggingface_asr_tpu.models.ebranchformer import feat_extract_output_lengths
+from huggingface_asr_tpu.models.ebranchformer import (
+    feat_extract_output_frames,
+    feat_extract_output_lengths,
+)
 from huggingface_asr_tpu.models.wav2vec2_ssl import Wav2Vec2ForPreTraining
 from huggingface_asr_tpu.ops.features import LogMelConfig, LogMelFrontEnd
 from huggingface_asr_tpu.ops.masking import compute_mask_indices, sample_negative_indices
@@ -56,7 +59,7 @@ def make_ssl_batch_fn(config: EBranchformerConfig, pretrain_args, frontend_cfg,
         mel_lens = frontend_cfg.num_frames(wav_lens)
         enc_lens = np.asarray(feat_extract_output_lengths(config, mel_lens))
         S = batch["input_values"].shape[1]
-        T_enc = int(feat_extract_output_lengths(config, int(frontend_cfg.num_frames(S))))
+        T_enc = int(feat_extract_output_frames(config, int(frontend_cfg.num_frames(S))))
         mask = compute_mask_indices(
             (len(wav_lens), T_enc),
             pretrain_args.mask_time_prob,

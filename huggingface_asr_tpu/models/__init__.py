@@ -2,6 +2,7 @@ from huggingface_asr_tpu.models.configs import EBranchformerConfig
 from huggingface_asr_tpu.models.ebranchformer import (
     EBranchformerForCTC,
     EBranchformerModel,
+    feat_extract_output_frames,
     feat_extract_output_lengths,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "EBranchformerConfig",
     "EBranchformerForCTC",
     "EBranchformerModel",
+    "feat_extract_output_frames",
     "feat_extract_output_lengths",
 ]

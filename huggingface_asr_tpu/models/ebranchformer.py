@@ -65,13 +65,35 @@ class CTCOutput:
     hidden_states: Optional[Tuple[jnp.ndarray, ...]] = None
 
 
-def feat_extract_output_lengths(config: EBranchformerConfig, input_lengths):
-    """Frame count after the 2-D conv stack (reference extractors.py:133-162)."""
+def feat_extract_output_frames(config: EBranchformerConfig, input_lengths):
+    """TENSOR frame count after the 2-D conv stack — the true convolution
+    arithmetic including padding. Use for sizing arrays, never for valid
+    lengths (see feat_extract_output_lengths)."""
     lengths = input_lengths
     for k, s, p in zip(config.conv_kernel, config.conv_stride, config.conv_padding):
         pad = (k - 1) if config.is_causal else 2 * p
         lengths = conv_output_length(lengths + pad, k, s, padding=0)
     return lengths
+
+
+def feat_extract_output_lengths(config: EBranchformerConfig, input_lengths):
+    """VALID frame count after the conv stack — replicates the reference's
+    ``CustomFE._get_feat_extract_output_lengths`` (extractors.py:133-162)
+    EXACTLY: ``(L - kernel) // stride + 1`` per layer, with NO padding term,
+    although the convs themselves are padded. The reference therefore treats
+    the trailing ``sum(padding)`` conv output frames of every utterance as
+    padding — in the CTC loss, the attention masks, the decoder's
+    cross-attention, and the CTC prefix scorer lengths alike. Round 3 found
+    that using the mathematically-correct padded formula here silently
+    de-synchronized joint beam decode from the reference (our decode saw 2
+    extra trailing frames the reference masks), so the reference convention
+    is mirrored verbatim."""
+    lengths = input_lengths
+    for k, s in zip(config.conv_kernel, config.conv_stride):
+        lengths = conv_output_length(lengths, k, s, padding=0)
+    if isinstance(lengths, (int, np.integer)):
+        return max(int(lengths), 0)
+    return jnp.maximum(lengths, 0) if isinstance(lengths, jnp.ndarray) else np.maximum(lengths, 0)
 
 
 def _winit(cfg):
@@ -509,12 +531,26 @@ class EBranchformerModel(nn.Module):
                     mask_time_indices[..., None], mask_emb.astype(self.dtype), hidden
                 )
 
+        # Two DIFFERENT length conventions, mirroring the reference exactly:
+        #   * the ENCODER's attention/zeroing mask uses the true padded-conv
+        #     arithmetic (the reference's Wav2Vec2EBranchformerModel resolves
+        #     _get_feat_extract_output_lengths to CustomFE's padded formula,
+        #     extractors.py:133-162);
+        #   * the RETURNED lengths (CTC loss, greedy/beam decode, the joint
+        #     model's cross-attention + CTC prefix scorer) use the stock HF
+        #     wav2vec2 UNPADDED formula — Wav2Vec2EBranchformerForCTC
+        #     inherits Wav2Vec2ForCTC, whose formula ignores conv padding, so
+        #     the reference trains and decodes with the last sum(2*padding)
+        #     frames excluded even though the encoder attends them.
+        enc_lengths = feat_extract_output_frames(cfg, input_lengths).astype(jnp.int32)
+        enc_lengths = jnp.clip(enc_lengths, 0, hidden.shape[1])
+        mask = lengths_to_mask(enc_lengths, hidden.shape[1])
+
         out_lengths = feat_extract_output_lengths(cfg, input_lengths).astype(jnp.int32)
         out_lengths = jnp.clip(out_lengths, 0, hidden.shape[1])
-        mask = lengths_to_mask(out_lengths, hidden.shape[1])
 
         last, all_hidden = EBranchformerEncoder(cfg, self.dtype, name="encoder")(
-            hidden, mask, deterministic, output_hidden_states, lengths=out_lengths
+            hidden, mask, deterministic, output_hidden_states, lengths=enc_lengths
         )
         return EncoderOutput(
             last_hidden_state=last,

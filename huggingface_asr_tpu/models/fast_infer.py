@@ -27,6 +27,7 @@ from huggingface_asr_tpu.models.ebranchformer import (
     Conv2dFeatureExtractor,
     CTCOutput,
     FeatureProjection,
+    feat_extract_output_frames,
     feat_extract_output_lengths,
 )
 from huggingface_asr_tpu.ops.lengths import lengths_to_mask
@@ -61,7 +62,7 @@ def ctc_infer_fused(
     dtype = jnp.bfloat16
     enc_p = params["wav2vec2"]
 
-    T = int(feat_extract_output_lengths(cfg, input_features.shape[1]))
+    T = int(feat_extract_output_frames(cfg, input_features.shape[1]))
     T_pad = _round_up(T, 8)
     if fits_subsample_kernel(cfg):
         # Fused Pallas subsampler (ops/pallas_subsample.py): conv1+conv2+
@@ -82,11 +83,16 @@ def ctc_infer_fused(
                 hidden, ((0, 0), (0, T_pad - hidden.shape[1]), (0, 0))
             )
 
+    # Reference length split (see models/ebranchformer.py): encoder masking
+    # at the true padded-conv length, RETURNED lengths at the stock unpadded
+    # formula the reference's ForCTC/joint paths use.
+    enc_lengths = feat_extract_output_frames(cfg, input_lengths).astype(jnp.int32)
+    enc_lengths = jnp.clip(enc_lengths, 0, T)
     out_lengths = feat_extract_output_lengths(cfg, input_lengths).astype(jnp.int32)
     out_lengths = jnp.clip(out_lengths, 0, T)
 
     B, _, D = hidden.shape
-    mask = lengths_to_mask(out_lengths, T_pad)
+    mask = lengths_to_mask(enc_lengths, T_pad)
     x = jnp.where(mask[..., None], hidden, 0.0).astype(dtype)
 
     # Stack per-layer folded weights and lax.scan over layers: the traced
@@ -100,7 +106,7 @@ def ctc_infer_fused(
 
     def body(h, layer_w):
         h = ebranchformer_layer(
-            h, out_lengths, layer_w, cfg, bb=bb, t_valid=T,
+            h, enc_lengths, layer_w, cfg, bb=bb, t_valid=T,
             interpret=interpret, ablate=ablate,
         )
         return h, None

@@ -159,7 +159,13 @@ def test_golden_parity_vs_reference(pos_type):
     rng = np.random.default_rng(4)
     x = rng.standard_normal((2, 120, 80)).astype(np.float32)
     with torch.no_grad():
-        golden = ref(torch.tensor(x)).logits.numpy()
+        # explicit full mask: the reference trainer always passes one, and
+        # with a mask the reference masks attention at its (unpadded-formula)
+        # valid length — the convention our model now mirrors.
+        golden = ref(
+            torch.tensor(x),
+            attention_mask=torch.ones(x.shape[:2], dtype=torch.long),
+        ).logits.numpy()
 
     cfg = EBranchformerConfig.from_hf_config(hf_cfg)
     assert cfg.position_embeddings_type == pos_type
@@ -210,7 +216,13 @@ def test_golden_parity_gated_frontends(awareness):
     # at both layers); the reference .view() also requires it.
     x = rng.standard_normal((2, 128, 80)).astype(np.float32)
     with torch.no_grad():
-        golden = ref(torch.tensor(x)).logits.numpy()
+        # explicit full mask: the reference trainer always passes one, and
+        # with a mask the reference masks attention at its (unpadded-formula)
+        # valid length — the convention our model now mirrors.
+        golden = ref(
+            torch.tensor(x),
+            attention_mask=torch.ones(x.shape[:2], dtype=torch.long),
+        ).logits.numpy()
 
     cfg = EBranchformerConfig.from_hf_config(hf_cfg)
     assert cfg.context_awareness_type == awareness

@@ -84,6 +84,32 @@ class RefJointCompat(RefJoint):
             )
         return processors
 
+    def prepare_inputs_for_generation(self, input_ids, past_key_values=None,
+                                      attention_mask=None, use_cache=None,
+                                      encoder_outputs=None, **kwargs):
+        # Optional no-cache decode (AED_PARITY_REF_CACHE=0): feed the FULL
+        # prefix every step and discard past. Bridges an installed-
+        # transformers (4.57) incompatibility where the custom joint model's
+        # beam-search KV cache is not reordered with the beams (the custom
+        # decoder returns legacy tuples through Seq2SeqLMOutputLosses),
+        # silently corrupting every beam's attention state after the first
+        # reorder. Full recompute is semantically the reference decode.
+        import os as _os
+
+        if _os.environ.get("AED_PARITY_REF_CACHE", "1") == "0":
+            return {
+                "attention_mask": attention_mask,
+                "decoder_input_ids": input_ids,
+                "encoder_outputs": encoder_outputs,
+                "past_key_values": None,
+                "use_cache": True,
+            }
+        return super().prepare_inputs_for_generation(
+            input_ids, past_key_values=past_key_values,
+            attention_mask=attention_mask, use_cache=use_cache,
+            encoder_outputs=encoder_outputs, **kwargs,
+        )
+
     def _prepare_encoder_decoder_kwargs_for_generation(
         self, inputs_tensor, model_kwargs, model_input_name=None,
         generation_config=None,
