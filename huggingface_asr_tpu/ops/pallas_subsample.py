@@ -95,63 +95,64 @@ def fits_subsample_kernel(cfg) -> bool:
     )
 
 
-def _np(x) -> np.ndarray:
-    return np.asarray(jax.device_get(x), np.float32)
-
-
 def fold_subsample_weights(enc_p: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]:
     """Fold the conv/out/LN/proj params into kernel operand matrices.
 
     enc_p = params["wav2vec2"] (needs feature_extractor + feature_projection).
+    Trace-safe (pure jnp): under jit the folds are constant-folded into the
+    program once; eagerly they run on device.
     """
     fe = enc_p["feature_extractor"]
     C = cfg.conv_dim[0]
     F = cfg.num_fbanks          # 80 mel bins
     F1 = F // 2                 # 40 conv1 output bins
     F2 = F1 // 2                # 20 conv2 output bins
-    w1 = _np(fe["conv_0"]["kernel"])   # (3, 3, 1, C) = (kt, kf, 1, C)
-    b1 = _np(fe["conv_0"]["bias"])     # (C,)
-    w2 = _np(fe["conv_1"]["kernel"])   # (3, 3, C, C)
-    b2 = _np(fe["conv_1"]["bias"])
-    wout = _np(fe["out"]["kernel"])    # (C*F2, D) flatten channel-major: row c*F2+f2
-    bout = _np(fe["out"]["bias"])
+    f32 = jnp.float32
+    w1 = jnp.asarray(fe["conv_0"]["kernel"], f32)   # (3, 3, 1, C) = (kt, kf, 1, C)
+    b1 = jnp.asarray(fe["conv_0"]["bias"], f32)     # (C,)
+    w2 = jnp.asarray(fe["conv_1"]["kernel"], f32)   # (3, 3, C, C)
+    b2 = jnp.asarray(fe["conv_1"]["bias"], f32)
+    wout = jnp.asarray(fe["out"]["kernel"], f32)    # (C*F2, D) flatten channel-major: row c*F2+f2
+    bout = jnp.asarray(fe["out"]["bias"], f32)
     fp = enc_p["feature_projection"]
-    ln_g = _np(fp["layer_norm"]["scale"])
-    ln_b = _np(fp["layer_norm"]["bias"])
-    wproj = _np(fp["projection"]["kernel"])
-    bproj = _np(fp["projection"]["bias"])
+    ln_g = jnp.asarray(fp["layer_norm"]["scale"], f32)
+    ln_b = jnp.asarray(fp["layer_norm"]["bias"], f32)
+    wproj = jnp.asarray(fp["projection"]["kernel"], f32)
+    bproj = jnp.asarray(fp["projection"]["bias"], f32)
     D = wout.shape[1]
 
     # conv1 tap matrix. y1[t1=2*t2+p, g, c] = sum_{kt,kf} mel[4*t2 +
     # (2p+kt-1), 2*g+kf-1] * w1[kt,kf,0,c]. Patch tap (r, kf) carries mel
     # row 4*t2 + r - 1 (r in 0..4), so parity p contributes via kt = r - 2p:
     # Wtap[(r,kf), p*C+c] = w1[r-2p, kf, 0, c] when 0 <= r-2p < 3.
-    Wtap = np.zeros((16, 2 * C), np.float32)    # 15 taps, padded to 16
+    Wtap = jnp.zeros((16, 2 * C), f32)          # 15 taps, padded to 16
     for r in range(5):
         for kf in range(3):
             for p in (0, 1):
                 kt = r - 2 * p
                 if 0 <= kt < 3:
-                    Wtap[r * 3 + kf, p * C : (p + 1) * C] = w1[kt, kf, 0, :]
+                    Wtap = Wtap.at[r * 3 + kf, p * C : (p + 1) * C].set(
+                        w1[kt, kf, 0, :]
+                    )
 
     # conv2 taps, ordered [kt*3+kf]: each (C, C).
-    W2 = np.transpose(w2, (0, 1, 2, 3)).reshape(9, C, C)
+    W2 = w2.reshape(9, C, C)
 
     # out-dense rows regathered per f2 group: Wout_f2[c, :] = wout[c*F2+f2].
-    Wout = np.stack([wout[np.arange(C) * F2 + f2] for f2 in range(F2)])
+    Wout = wout.reshape(C, F2, D).transpose(1, 0, 2)
 
     bf = jnp.bfloat16
     return dict(
-        sub_B=jnp.asarray(Wtap, bf),            # (16, 2C)
-        sub_b1=jnp.asarray(np.tile(b1, 2), bf).reshape(1, -1),  # (1, 2C)
-        sub_W2=jnp.asarray(W2, bf),             # (9, C, C)
-        sub_b2=jnp.asarray(b2, bf).reshape(1, -1),
-        sub_Wout=jnp.asarray(Wout, bf),         # (F2, C, D)
-        sub_bout=jnp.asarray(bout, bf).reshape(1, -1),
-        sub_ln_g=jnp.asarray(ln_g, jnp.float32).reshape(1, -1),
-        sub_ln_b=jnp.asarray(ln_b, jnp.float32).reshape(1, -1),
-        sub_Wproj=jnp.asarray(wproj, bf),       # (D, D)
-        sub_bproj=jnp.asarray(bproj, bf).reshape(1, -1),
+        sub_B=Wtap.astype(bf),                  # (16, 2C)
+        sub_b1=jnp.concatenate([b1, b1]).astype(bf).reshape(1, -1),  # (1, 2C)
+        sub_W2=W2.astype(bf),                   # (9, C, C)
+        sub_b2=b2.astype(bf).reshape(1, -1),
+        sub_Wout=Wout.astype(bf),               # (F2, C, D)
+        sub_bout=bout.astype(bf).reshape(1, -1),
+        sub_ln_g=ln_g.reshape(1, -1),
+        sub_ln_b=ln_b.reshape(1, -1),
+        sub_Wproj=wproj.astype(bf),             # (D, D)
+        sub_bproj=bproj.astype(bf).reshape(1, -1),
     )
 
 
@@ -167,59 +168,72 @@ def _subsample_kernel(
     ab = set(ablate.split(",")) if ablate else set()
     gelu = (lambda z: z) if "no_gelu" in ab else _gelu_xla_bf16
 
-    # Validity masks: lanes [0:C] of a group hold even frames (valid t2 <
-    # n_even), lanes [C:2C] odd (t2 < n_odd). Rows the conv never produced
-    # must be EXACT ZERO — conv2's time padding reads them.
-    row = jax.lax.broadcasted_iota(jnp.int32, (G, C), 0)
-    m_even = row < n_even
-    m_odd = row < n_odd
-    zc = jnp.zeros((G, C), bf)
+    # ---- conv1 (+bias, GELU): ONE (F1*G, 16) @ (16, 2C) MXU dot for all
+    # frequency groups. XLA rounding order: fp32 matmul acc -> bf16, +bias
+    # (bf16 add), GELU on the bf16 value (bf16 op chain), -> bf16. Lanes
+    # [0:C] of a group hold even frames (valid t2 < n_even), lanes [C:2C]
+    # odd (t2 < n_odd); rows the conv never produced must be EXACT ZERO —
+    # conv2's time padding reads them.
+    acc = jnp.dot(patches_ref[0], B_ref[...], preferred_element_type=f32)
+    h = acc.astype(bf) + b1_ref[0][None, :]
+    h = gelu(h).reshape(F1, G, 2 * C)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+    z = jnp.zeros((F1, G, C), bf)
+    ev = jnp.where(row < n_even, h[:, :, :C], z)          # (F1, G, C)
+    od = jnp.where(row < n_odd, h[:, :, C:], z)
+    # odd frame 2*t2-1 (the kt=0 tap): shift one row up WITHIN each group,
+    # zero at the t2=0 time edge.
+    od_up = jnp.concatenate([z[:, :1], od[:, :-1]], axis=1)
 
-    # ---- conv1 (+bias, GELU) per frequency group, traced lazily at first
-    # conv2 use. XLA rounding order: fp32 matmul acc -> bf16, +bias (bf16
-    # add), GELU on the bf16 value (bf16 op chain), -> bf16. Returns the
-    # (even, odd, odd-shifted-up) lane halves; odd_up[t2] = odd frame
-    # 2*t2-1 (the kt=0 tap), zero at the t2=0 time edge.
-    memo: Dict[int, Any] = {}
-
-    def y1(g: int):
-        if g < 0 or g >= F1:
-            return None
-        if g not in memo:
-            acc = jnp.dot(
-                patches_ref[0, g * G : (g + 1) * G, :], B_ref[...],
-                preferred_element_type=f32,
-            )                                   # (G, 2C)
-            h = acc.astype(bf) + b1_ref[0][None, :]
-            h = gelu(h)
-            ev = jnp.where(m_even, h[:, :C], zc)
-            od = jnp.where(m_odd, h[:, C:], zc)
-            od_up = jnp.concatenate([zc[:1], od[:-1]], axis=0)
-            memo[g] = (ev, od, od_up)
-        return memo[g]
-
-    # ---- conv2 (+bias, GELU) + distributed out-dense contraction, fully
-    # unrolled. Term (kt, kf) for output group f2 reads y1 group
-    # g = 2*f2+kf-1: kt=0 -> odd frame 2*t2-1 (odd_up), kt=1 -> even frame
-    # 2*t2, kt=2 -> odd frame 2*t2+1.
-    out = jnp.zeros((T2, Wproj_ref.shape[0]), f32)
-    f2_range = () if "no_conv2" in ab else range(F2)
     if "no_conv2" in ab:   # keep all conv1 work live for attribution benches
-        for g in range(F1):
-            out = out + y1(g)[0][:, : out.shape[1]].astype(f32)
-    for f2 in f2_range:
-        acc2 = jnp.zeros((T2, C), f32)
+        out = jnp.sum(
+            ev[..., : Wproj_ref.shape[0]].astype(f32), axis=0
+        )
+    else:
+        # ---- conv2 as 9 LARGE matmuls: term (kt, kf) for output group f2
+        # reads y1 group g = 2*f2+kf-1 (kt=0 -> odd frame 2*t2-1 (od_up),
+        # kt=1 -> even frame 2*t2, kt=2 -> odd frame 2*t2+1). For fixed kf
+        # the needed groups are the even (kf=1) or odd (kf=0,2) y1 groups in
+        # f2 order, so each tap is ONE (F2*G, C) @ (C, C) dot — same exact
+        # FLOPs as the per-f2 formulation (fp32 adds in the same
+        # kf-outer/kt-inner order => bit-identical), but the MXU sees
+        # M=F2*G instead of M=G. The parity split is a leading-dim reshape
+        # (F1,G,C)->(F2,2,G,C) + unit slice — Mosaic lowers that directly
+        # (a stride-2 slice would be an unsupported >2D gather). The f2=0,
+        # kf=0 edge group (g=-1) is an explicit zero slab (adding exact
+        # zeros, as the skip did).
+        zedge = jnp.zeros((1, G, C), bf)
+
+        def stack(src, kf):
+            s4 = src.reshape(F2, 2, G, C)
+            if kf == 0:
+                s = jnp.concatenate([zedge, s4[:-1, 1]], axis=0)
+            elif kf == 1:
+                s = s4[:, 0]
+            else:
+                s = s4[:, 1]
+            return s.reshape(F2 * G, C)
+
+        acc2 = jnp.zeros((F2 * G, C), f32)
         for kf in range(3):
-            v = y1(2 * f2 + kf - 1)
-            if v is None:
-                continue                        # f2 edge: zero group
-            ev, od, od_up = v
-            acc2 = acc2 + jnp.dot(od_up, W2_ref[0 + kf], preferred_element_type=f32)
-            acc2 = acc2 + jnp.dot(ev, W2_ref[3 + kf], preferred_element_type=f32)
-            acc2 = acc2 + jnp.dot(od, W2_ref[6 + kf], preferred_element_type=f32)
+            for kt, src in ((0, od_up), (1, ev), (2, od)):
+                acc2 = acc2 + jnp.dot(
+                    stack(src, kf), W2_ref[3 * kt + kf],
+                    preferred_element_type=f32,
+                )
         y2 = acc2.astype(bf) + b2_ref[0][None, :]
-        y2 = gelu(y2)
-        out = out + jnp.dot(y2, Wout_ref[f2], preferred_element_type=f32)
+        y2 = gelu(y2).reshape(F2, G, C)
+
+        # ---- distributed out-dense: out = sum_f2 y2[f2] @ Wout[f2] as one
+        # batched dot + a slab reduction (same per-element fp32 add order
+        # along f2 as the sequential accumulation).
+        out3 = jax.lax.dot_general(
+            y2, Wout_ref[...], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )                                        # (F2, G, D)
+        out = out3[0]
+        for f2 in range(1, F2):
+            out = out + out3[f2]
 
     # ---- out bias, LayerNorm (fp32 stats), projection.
     # LayerNorm, replicating flax's rounding chain exactly: f32 stats with

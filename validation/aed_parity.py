@@ -302,6 +302,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     os.makedirs(args.work_dir, exist_ok=True)
+    # Decode parity needs true-fp32 matmuls on TPU (default fp32 precision
+    # is bf16x3 passes — enough to flip beam ties vs the torch CPU fp32
+    # reference). Training is unaffected (its own jit uses config dtype).
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
     ds_dir, tok_dir = build(args.work_dir, args.n_train, args.n_eval, args.vocab)
     if not (args.skip_train and os.path.exists(os.path.join(args.work_dir, "aed", "final"))):
         train(args.work_dir, ds_dir, tok_dir, args.steps, args.batch)

@@ -87,16 +87,20 @@ class RefJointCompat(RefJoint):
     def prepare_inputs_for_generation(self, input_ids, past_key_values=None,
                                       attention_mask=None, use_cache=None,
                                       encoder_outputs=None, **kwargs):
-        # Optional no-cache decode (AED_PARITY_REF_CACHE=0): feed the FULL
-        # prefix every step and discard past. Bridges an installed-
-        # transformers (4.57) incompatibility where the custom joint model's
-        # beam-search KV cache is not reordered with the beams (the custom
-        # decoder returns legacy tuples through Seq2SeqLMOutputLosses),
-        # silently corrupting every beam's attention state after the first
-        # reorder. Full recompute is semantically the reference decode.
+        # DEFAULT: no-cache decode — feed the FULL prefix every step and
+        # discard past. Bridges an installed-transformers (4.57)
+        # incompatibility where the custom joint model's beam-search KV
+        # cache is not reordered with the beams (the custom decoder returns
+        # legacy tuples through Seq2SeqLMOutputLosses), silently corrupting
+        # every beam's attention state after the first reorder — the
+        # corruption shows up as trailing hallucinated/repeated tokens in
+        # the torch transcripts. Full recompute is semantically the
+        # reference decode (same scores, step for step). Set
+        # AED_PARITY_REF_CACHE=1 to exercise the (broken-under-4.57)
+        # cached path.
         import os as _os
 
-        if _os.environ.get("AED_PARITY_REF_CACHE", "1") == "0":
+        if _os.environ.get("AED_PARITY_REF_CACHE", "0") == "0":
             return {
                 "attention_mask": attention_mask,
                 "decoder_input_ids": input_ids,
