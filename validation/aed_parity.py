@@ -97,7 +97,12 @@ def _load(work):
     return load_config(final, JointCTCAttentionConfig), load_params(final)
 
 
-def _test_batch(ds_dir):
+def _test_batch(ds_dir, noise_std: float = 0.0):
+    """Held-out eval batch. ``noise_std`` adds DETERMINISTIC Gaussian noise
+    (seed 1234) to the waveforms so the decode is discriminative (WER > 0):
+    both stacks then have to agree on the ERRORS, not just on easy
+    transcripts — exactly the ranking-sensitive regime where beam-search
+    divergences (tie-breaks, eos handling, score mixing) would surface."""
     import datasets
 
     dd = datasets.load_from_disk(ds_dir)["test"]
@@ -107,11 +112,18 @@ def _test_batch(ds_dir):
     batchw = np.zeros((len(wavs), S), np.float32)
     for i, wv in enumerate(wavs):
         batchw[i, : len(wv)] = wv
+    if noise_std > 0.0:
+        rng = np.random.default_rng(1234)
+        scale = np.abs(batchw).max(axis=1, keepdims=True) + 1e-6
+        batchw = batchw + (
+            rng.standard_normal(batchw.shape).astype(np.float32)
+            * np.float32(noise_std) * scale
+        )
     lens = np.asarray([len(w) for w in wavs], np.int32)
     return batchw, lens, refs
 
 
-def ours_decode(work, ds_dir, tok_dir):
+def ours_decode(work, ds_dir, tok_dir, noise_std=0.0):
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -128,7 +140,7 @@ def ours_decode(work, ds_dir, tok_dir):
     model = JointCTCAttentionEncoderDecoder(config)  # fp32, as trained
     frontend = LogMelFrontEnd(LogMelConfig())
 
-    batchw, lens, refs = _test_batch(ds_dir)
+    batchw, lens, refs = _test_batch(ds_dir, noise_std)
     feats, flens = frontend(jnp.asarray(batchw), jnp.asarray(lens))
     cfg = BeamSearchConfig(
         num_beams=NUM_BEAMS, max_length=MAX_LEN, ctc_weight=CTC_WEIGHT,
@@ -148,7 +160,7 @@ def ours_decode(work, ds_dir, tok_dir):
     return hyps, refs, dt, float(np.sum(lens) / 16000.0)
 
 
-def reference_decode(work, ds_dir, tok_dir):
+def reference_decode(work, ds_dir, tok_dir, noise_std=0.0):
     import torch
 
     from validation.ref_compat import (
@@ -263,7 +275,7 @@ def reference_decode(work, ds_dir, tok_dir):
     ref.generation_config = gen_cfg
 
     frontend = LogMelFrontEnd(LogMelConfig())
-    batchw, lens, refs = _test_batch(ds_dir)
+    batchw, lens, refs = _test_batch(ds_dir, noise_std)
     feats, flens = frontend(jnp.asarray(batchw), jnp.asarray(lens))
     feats = np.asarray(feats)
     flens = np.asarray(flens)
@@ -299,6 +311,10 @@ def main(argv=None):
     ap.add_argument("--n_eval", type=int, default=64)
     ap.add_argument("--vocab", type=int, default=40)
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--eval_noise", type=float, default=0.0,
+                    help="deterministic eval-waveform noise (fraction of "
+                         "per-utterance peak) so WER > 0 and parity is "
+                         "discriminative on errors")
     args = ap.parse_args(argv)
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -312,8 +328,10 @@ def main(argv=None):
     if not (args.skip_train and os.path.exists(os.path.join(args.work_dir, "aed", "final"))):
         train(args.work_dir, ds_dir, tok_dir, args.steps, args.batch)
 
-    our_hyps, refs, our_sec, audio_sec = ours_decode(args.work_dir, ds_dir, tok_dir)
-    ref_hyps, ref_sec = reference_decode(args.work_dir, ds_dir, tok_dir)
+    our_hyps, refs, our_sec, audio_sec = ours_decode(
+        args.work_dir, ds_dir, tok_dir, args.eval_noise)
+    ref_hyps, ref_sec = reference_decode(
+        args.work_dir, ds_dir, tok_dir, args.eval_noise)
 
     from huggingface_asr_tpu.utils.metrics import wer as wer_fn
 
@@ -330,6 +348,7 @@ def main(argv=None):
         "decode_config": {
             "num_beams": NUM_BEAMS, "ctc_weight": CTC_WEIGHT,
             "ctc_margin": 0, "max_length": MAX_LEN,
+            "eval_noise": args.eval_noise,
         },
         "test_utterances": len(refs),
         "our_wer": round(float(our_wer), 4),
@@ -350,7 +369,8 @@ def main(argv=None):
     if os.path.exists(repo_report):
         with open(repo_report) as f:
             merged = json.load(f)
-    merged["joint_beam"] = report
+    key = "joint_beam" if args.eval_noise == 0.0 else "joint_beam_noisy"
+    merged[key] = report
     with open(repo_report, "w") as f:
         json.dump(merged, f, indent=2)
     print(json.dumps(report, indent=2))
