@@ -98,7 +98,13 @@ def main():
         vocab_size=500,
     )
     model = EBranchformerForCTC(config, dtype=jnp.bfloat16)
-    frontend = PallasLogMelFrontEnd(LogMelConfig())
+    # Serving front-end config: 3-pass fp32 DFT (~1e-6 relative feature
+    # error) + in-kernel CMVN with bf16 output (the exact cast the fused
+    # subsampler applies to its input anyway). Parity: validation/wer_parity
+    # re-run with this config — fused-path WER delta 0 vs torch reference.
+    frontend = PallasLogMelFrontEnd(
+        LogMelConfig(matmul_precision="high"), fused_cmvn_bf16=True
+    )
 
     B = 128
     seconds = 10.0

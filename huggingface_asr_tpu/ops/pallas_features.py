@@ -109,8 +109,13 @@ def _split_hi_lo(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _mel_kernel(rows_ref, dft_ref, mel_ref, o_ref,
-                *, n_rows, n_bands, nbins, floor, highest):
+def _mel_kernel(rows_ref, dft_ref, mel_ref, *rest,
+                n_rows, n_bands, nbins, floor, highest,
+                fuse_cmvn=False, norm_means=True, norm_vars=True):
+    if fuse_cmvn:
+        len_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     HI = jax.lax.Precision.HIGHEST
 
     # One program per batch item. Each band is ONE (n_rows, hop)@(hop, 2N)
@@ -148,7 +153,28 @@ def _mel_kernel(rows_ref, dft_ref, mel_ref, o_ref,
         power, mel_ref[...], (((1,), (0,)), ((), ())),
         precision=HI, preferred_element_type=jnp.float32,
     )
-    o_ref[0, :, :] = jnp.log(jnp.maximum(mel, floor))
+    lm = jnp.log(jnp.maximum(mel, floor))
+    if fuse_cmvn:
+        # Utterance CMVN + length masking IN-KERNEL (the whole utterance is
+        # already VMEM-resident), replicating LogMelFrontEnd._normalize's
+        # fp32 op order; output rounds once to the out dtype (bf16 on the
+        # fused serving path — exactly the cast the subsampler's im2col
+        # applies anyway, so no precision is lost vs the unfused pipeline).
+        n = len_ref[0, 0, 0]
+        row = jax.lax.broadcasted_iota(jnp.int32, lm.shape, 0)
+        m = (row < n).astype(jnp.float32)
+        count = jnp.maximum(n.astype(jnp.float32), 1.0)
+        if norm_means:
+            mean = jnp.sum(lm * m, axis=0, keepdims=True) / count
+            lm = lm - mean
+        if norm_vars:
+            var = jnp.sum(jnp.square(lm) * m, axis=0, keepdims=True) / count
+            if not norm_means:
+                mean = jnp.sum(lm * m, axis=0, keepdims=True) / count
+                var = var - jnp.square(mean)
+            lm = lm / jnp.sqrt(var)
+        lm = jnp.where(row < n, lm, 0.0)
+    o_ref[0, :, :] = lm.astype(o_ref.dtype)
 
 
 class PallasLogMelFrontEnd:
@@ -158,7 +184,17 @@ class PallasLogMelFrontEnd:
     is exact in exact arithmetic; fp differences are ~1e-5 relative).
     """
 
-    def __init__(self, config: LogMelConfig = LogMelConfig(), interpret: bool = False):
+    def __init__(
+        self,
+        config: LogMelConfig = LogMelConfig(),
+        interpret: bool = False,
+        fused_cmvn_bf16: bool = False,
+    ):
+        """``fused_cmvn_bf16=True`` computes utterance CMVN + length masking
+        inside the kernel and emits bf16 — the serving/bench configuration:
+        it removes ~5 XLA passes over the (B, T, 80) f32 features, and the
+        bf16 rounding is exactly the cast the fused subsampler's im2col
+        applies to its input anyway."""
         if config.norm_type == "global":
             raise NotImplementedError("use LogMelFrontEnd for global CMVN")
         if config.matmul_precision not in ("highest", "high"):
@@ -166,6 +202,7 @@ class PallasLogMelFrontEnd:
                 "PallasLogMelFrontEnd supports matmul_precision in "
                 "{'highest', 'high'}"
             )
+        self.fused_cmvn = fused_cmvn_bf16
         self.config = config
         self.interpret = interpret
         self._highest = config.matmul_precision == "highest"
@@ -250,34 +287,54 @@ class PallasLogMelFrontEnd:
                 waveforms = waveforms[:, :S_need]
             wf = waveforms.astype(jnp.float32).reshape(B, rows_alloc, hop)
 
+        feat_lengths = cfg.num_frames(lengths).astype(jnp.int32)
+        feat_lengths = jnp.clip(feat_lengths, 0, num_frames)
+
+        fuse = self.fused_cmvn and cfg.norm_type == "utterance"
+        in_specs = [
+            pl.BlockSpec((1, rows_alloc, hop), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(self._dft.shape, lambda b: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(self._mel.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [wf, self._dft, self._mel]
+        if fuse:
+            # (B, 1, 1) with (1, 1, 1) blocks: Mosaic requires the last two
+            # block dims to equal the array dims (or be (8, 128)-tiled).
+            in_specs.append(
+                pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(feat_lengths.reshape(B, 1, 1))
+
         out = pl.pallas_call(
             partial(
                 _mel_kernel, n_rows=n_rows, n_bands=self._n_bands,
                 nbins=self._nbins,
                 floor=np.float32(cfg.mel_floor), highest=self._highest,
+                fuse_cmvn=fuse, norm_means=cfg.normalize_means,
+                norm_vars=cfg.normalize_vars,
             ),
             grid=(B,),
-            in_specs=[
-                pl.BlockSpec((1, rows_alloc, hop), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(self._dft.shape, lambda b: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(self._mel.shape, lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, FB * F, cfg.num_mel_bins), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (B, FB * F, cfg.num_mel_bins), jnp.float32
+                (B, FB * F, cfg.num_mel_bins),
+                jnp.bfloat16 if fuse else jnp.float32,
             ),
             interpret=self.interpret,
-        )(wf, self._dft, self._mel)
+        )(*operands)
 
         log_mel = out[:, :num_frames]
-        feat_lengths = cfg.num_frames(lengths).astype(jnp.int32)
-        feat_lengths = jnp.clip(feat_lengths, 0, num_frames)
+        if fuse:
+            # CMVN + masking already applied in-kernel (bf16 output; rows
+            # >= feat_lengths are exact zeros).
+            return log_mel, feat_lengths
         mask = (
             jnp.arange(num_frames, dtype=jnp.int32)[None, :]
             < feat_lengths[:, None]

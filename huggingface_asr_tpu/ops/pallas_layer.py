@@ -91,14 +91,17 @@ def _erf_rational(x):
     return jnp.sign(x) * e
 
 
-RECIP_MODE = "off"  # "off" (exact divide) | "newton" (approx + 1 Newton
-                    # step, ~1 f32 ulp) | "approx" (raw VPU reciprocal,
-                    # rel err ~2^-14 — still ~60x below bf16 resolution).
+RECIP_MODE = "newton"  # "off" (exact divide) | "newton" (approx + 1 Newton
+                    # step, ~1 f32 ulp — DEFAULT: measured ~1 ms/batch
+                    # cheaper than the exact divide in the subsampler alone,
+                    # and a 1-ulp f32 reciprocal cannot move any bf16
+                    # result) | "approx" (raw VPU reciprocal, rel err
+                    # ~2^-14 — still ~60x below bf16 resolution).
                     # The erfc rational divides by p^16 in [1, 4e6]; an
                     # approx reciprocal perturbs erfc by <=6e-5 absolute,
                     # flipping only bf16 values within 6e-5 of a rounding
-                    # boundary. Benchmark knob; kernels read it at trace
-                    # time so harnesses can set it per-variant.
+                    # boundary. Kernels read it at trace time so harnesses
+                    # can set it per-variant.
 
 
 def _recip(x):

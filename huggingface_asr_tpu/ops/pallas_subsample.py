@@ -277,7 +277,11 @@ def conv_subsample_fused(
     n_odd = T1_valid // 2               # ... valid odd frame
 
     rows_need = 4 * T2_pad
-    mel = features
+    # The kernel consumes bf16 patches; casting the MEL (80 lanes) before the
+    # im2col expansion (16 tap lanes per (g, t2)) is bit-identical — each
+    # patch element is a single mel value either way — and halves the HBM
+    # traffic of every relayout below.
+    mel = features.astype(jnp.bfloat16)
     if rows_need > T_in:
         mel = jnp.pad(mel, ((0, 0), (0, rows_need - T_in), (0, 0)))
     else:
@@ -295,7 +299,7 @@ def conv_subsample_fused(
     pat = jnp.pad(pat, ((0, 0), (0, 0), (0, 0), (0, 1)))
     pat = jnp.transpose(pat, (0, 2, 1, 3))               # (B, F1, T2, 16)
     R_pad = F1 * T2_pad                                  # T2_pad is 8-aligned
-    patches = pat.reshape(B, R_pad, 16).astype(jnp.bfloat16)
+    patches = pat.reshape(B, R_pad, 16)
 
     w = fold_subsample_weights(enc_p, cfg)
     names = ("sub_B", "sub_b1", "sub_W2", "sub_b2",

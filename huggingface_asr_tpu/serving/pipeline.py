@@ -103,8 +103,15 @@ class ASRPipeline:
                     from huggingface_asr_tpu.ops.pallas_features import (
                         PallasLogMelFrontEnd,
                     )
+                    # Serving config: 3-pass fp32 DFT + in-kernel CMVN/bf16
+                    # (validated: fused-path WER delta 0 vs torch reference,
+                    # validation/wer_parity_report.json).
                     frontend = PallasLogMelFrontEnd(
-                        LogMelConfig(num_mel_bins=config.num_fbanks)
+                        LogMelConfig(
+                            num_mel_bins=config.num_fbanks,
+                            matmul_precision="high",
+                        ),
+                        fused_cmvn_bf16=True,
                     )
 
                 # bb (batch rows per kernel program) is picked per padded

@@ -63,6 +63,32 @@ def test_pallas_mel_hop_row_layout_matches_flat():
     )
 
 
+def test_pallas_mel_fused_cmvn_bf16_matches_xla_cmvn():
+    """The serving configuration (in-kernel CMVN + bf16 output) must equal
+    the XLA-CMVN path rounded to bf16, including the zeroed padding rows."""
+    cfg = LogMelConfig(norm_type="utterance")
+    ref = LogMelFrontEnd(cfg)
+    fused = PallasLogMelFrontEnd(cfg, interpret=True, fused_cmvn_bf16=True)
+
+    rng = np.random.default_rng(3)
+    B, S = 2, 16000 * 2
+    wav = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+    lens = jnp.asarray([S, S - 5000], jnp.int32)
+
+    f_ref, l_ref = ref(wav, lens)
+    f_got, l_got = fused(wav, lens)
+    assert f_got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_got))
+    g = np.asarray(f_got, np.float32)
+    r = np.asarray(f_ref.astype(jnp.bfloat16), np.float32)
+    # same values after one bf16 rounding (kernel CMVN is fp32, same op
+    # order; bf16 resolution ~ 2^-8 relative)
+    np.testing.assert_allclose(g, r, rtol=0, atol=2e-2)
+    # padding rows are exact zeros (conv front-end contract)
+    n1 = int(np.asarray(l_got)[1])
+    assert np.all(g[1, n1:] == 0.0)
+
+
 def test_pallas_mel_high_precision_close_to_highest():
     """Manual 3-pass 'high' mode stays within ~1e-2 of the fp32 features
     (bf16 hi/lo split drops only the lo*lo term)."""

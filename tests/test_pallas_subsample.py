@@ -68,7 +68,13 @@ def test_subsample_kernel_matches_xla(t_in):
     # bitwise with <=1-ulp flips at each stage.
     np.testing.assert_allclose(got_f, ref_f, rtol=0, atol=6e-2)
     frac_exact = np.mean(got_f == ref_f)
-    assert frac_exact > 0.95, f"only {frac_exact:.4f} bitwise-equal"
+    # With the product default RECIP_MODE="newton" (~1 f32 ulp in the erfc
+    # tail) ~93% stays bitwise-equal; with the exact divide it is >95%. The
+    # allclose above bounds the amplified remainder either way.
+    assert frac_exact > 0.90, f"only {frac_exact:.4f} bitwise-equal"
+    from huggingface_asr_tpu.ops import pallas_layer
+
+    assert pallas_layer.RECIP_MODE == "newton"  # product default under test
 
 
 def test_fused_pipeline_with_subsample_kernel():

@@ -68,24 +68,29 @@ def main():
         for _ in range(args.iters)
     ]
 
+    xstack = jnp.stack(xs)  # (iters, B, T, D)
+
     for ablate in args.ablate.split(";"):
 
-        # NOTE: return a scalar and fetch it with float() — on the axon
-        # transport, block_until_ready on a device array does not reliably
-        # wait for execution; a value fetch does.
+        # ALL iterations inside ONE compiled program (lax.scan over the
+        # stacked inputs, like bench.py): the ~29 ms axon dispatch RTT is
+        # paid once, not per iteration — deltas are pure device time.
+        # NOTE: fetch the scalar with float() — on the axon transport,
+        # block_until_ready on a device array does not reliably wait.
         @partial(jax.jit, static_argnums=(1,))
-        def run(x, ab):
-            for _ in range(args.layers):
-                x = ebranchformer_layer(
-                    x, lens, folded, config, bb=args.bb, ablate=ab
-                )
-            return jnp.sum(x.astype(jnp.float32))
+        def run(xst, ab):
+            def body(carry, x):
+                for _ in range(args.layers):
+                    x = ebranchformer_layer(
+                        x, lens, folded, config, bb=args.bb, ablate=ab
+                    )
+                return carry, jnp.sum(x.astype(jnp.float32))
+            _, sums = jax.lax.scan(body, 0.0, xst)
+            return jnp.sum(sums)
 
-        float(run(xs[0], ablate))
+        float(run(xstack, ablate))
         t0 = time.perf_counter()
-        outs = [run(x, ablate) for x in xs]
-        for o in outs:
-            float(o)
+        float(run(xstack, ablate))
         dt = (time.perf_counter() - t0) / args.iters / args.layers
         print(json.dumps({
             "ablate": ablate, "bb": args.bb, "B": B, "T": T,

@@ -191,7 +191,11 @@ def fused_decode(ds_dir: str, tok_dir: str, ckpt: str):
     try:
         from huggingface_asr_tpu.ops.pallas_features import PallasLogMelFrontEnd
 
-        frontend = PallasLogMelFrontEnd(LogMelConfig())
+        # EXACT serving config (serving/pipeline.py fused path): 3-pass fp32
+        # DFT + in-kernel CMVN with bf16 output.
+        frontend = PallasLogMelFrontEnd(
+            LogMelConfig(matmul_precision="high"), fused_cmvn_bf16=True
+        )
     except NotImplementedError:
         frontend = LogMelFrontEnd(LogMelConfig())
 
