@@ -104,6 +104,16 @@ RECIP_MODE = "newton"  # "off" (exact divide) | "newton" (approx + 1 Newton
                     # can set it per-variant.
 
 
+ATTN_OUT_MODE = "assembled"  # "distributed" | "assembled" — see the
+                             # attention-branch comment in _layer_kernel.
+                             # Trace-time knob; measured on chip (12-layer
+                             # scan, B=128, T=256, bb=8): assembled
+                             # 3.139 ms/layer vs distributed 3.191 — the
+                             # full-K output dot beats the K=dh per-head
+                             # dots' scheduling freedom. (bb=16: 3.99 —
+                             # bb=8 stays the default.)
+
+
 def _recip(x):
     """fp32 reciprocal; see RECIP_MODE."""
     if RECIP_MODE == "approx":
@@ -157,6 +167,30 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_rational(x * _SQRT_HALF))
 
 
+GELU_MODE = "bitexact"  # "bitexact" replicates the XLA bf16 rounding chain
+                        # op for op (_gelu_bf16: ~25 VPU ops/element);
+                        # "fast" computes the same erfc-based GELU entirely
+                        # in f32 with ONE final bf16 rounding (~16 ops) —
+                        # |difference| <= 1-2 bf16 ulp from the dropped
+                        # intermediate roundings. Trace-time knob; the
+                        # serving/bench path may enable "fast" only behind
+                        # a fused-transcript parity re-validation.
+
+
+def _gelu_fast(x_bf):
+    """f32 GELU, one bf16 rounding: 0.5*x*erfc(-x*sqrt(1/2)) with the A&S
+    7.1.28 erfc. Same function as _gelu_bf16 minus the intermediate bf16
+    roundings (<= 1-2 bf16 ulp difference), ~35% fewer VPU ops."""
+    xf = x_bf.astype(jnp.float32)
+    return (0.5 * xf * _erfc_rational(xf * (-_SQRT_HALF))).astype(jnp.bfloat16)
+
+
+def gelu_bf16(x_bf):
+    """bf16 GELU dispatcher for the fused kernels (reads GELU_MODE at
+    trace time)."""
+    return _gelu_fast(x_bf) if GELU_MODE == "fast" else _gelu_bf16(x_bf)
+
+
 ACT_F32 = {
     "gelu": _gelu_exact,
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
@@ -168,10 +202,11 @@ ACT_F32 = {
 
 # Activations on bf16 values, replicating the XLA model path's per-op bf16
 # rounding (models/ebranchformer.py ACT applies to bf16 arrays). "gelu" has
-# a dedicated exact chain; the rest compute in f32 and round once, which
-# matches XLA's upcast-compute-downcast lowering for transcendentals.
+# a dedicated exact chain (dispatched through GELU_MODE); the rest compute
+# in f32 and round once, which matches XLA's upcast-compute-downcast
+# lowering for transcendentals.
 ACT_BF16 = {
-    "gelu": _gelu_bf16,
+    "gelu": gelu_bf16,
     **{
         k: (lambda f: (lambda x: f(x.astype(jnp.float32)).astype(jnp.bfloat16)))(f)
         for k, f in ACT_F32.items()
@@ -335,11 +370,15 @@ def _layer_kernel(*refs, st: LayerStatic):
     col = jax.lax.broadcasted_iota(jnp.int32, (bb, T, T), 2)
     kmask = col < w["lens_vec"][...]                   # (bb,1,1) vs (bb,T,T)
 
-    # Per-head chains are fully independent SSA values; the output
-    # projection is DISTRIBUTED per head (g_out = sum_h out_h @ Wo[lanes_h])
-    # — same FLOPs as the assembled (N, D) @ (D, D) matmul, but no shared
-    # assembly buffer, so head h+1's VPU work (q_rot build, softmax) can
-    # overlap head h's MXU dots in the VLIW schedule.
+    # Per-head chains are fully independent SSA values. The output
+    # projection has two formulations (ATTN_OUT_MODE, trace-time knob):
+    #   * "distributed": g_out = sum_h out_h @ Wo[lanes_h] — no shared
+    #     assembly buffer, so head h+1's VPU work (q_rot build, softmax)
+    #     can overlap head h's MXU dots in the VLIW schedule; but each dot
+    #     is K=dh (<128), so the MXU runs at <=dh/128 pipeline utilization.
+    #   * "assembled": concatenate the per-head outputs and run ONE
+    #     (N, D) @ (D, D) dot — full-K MXU efficiency, one assembly copy.
+    out_heads = []
     g_acc = jnp.broadcast_to(
         w["bo"][0].astype(jnp.float32), (N, D)
     )
@@ -378,12 +417,20 @@ def _layer_kernel(*refs, st: LayerStatic):
             preferred_element_type=jnp.float32,
         )                                              # (bb, T, dh)
         out_h = out_h * (1.0 / z)                      # normalize post-PV
+        if ATTN_OUT_MODE == "assembled":
+            out_heads.append(out_h.astype(jnp.bfloat16).reshape(N, dh))
+        else:
+            g_acc = g_acc + jnp.dot(
+                out_h.astype(jnp.bfloat16).reshape(N, dh),
+                w["wo"][hd * dh : (hd + 1) * dh, :],
+                preferred_element_type=jnp.float32,
+            )
+
+    if out_heads:
         g_acc = g_acc + jnp.dot(
-            out_h.astype(jnp.bfloat16).reshape(N, dh),
-            w["wo"][hd * dh : (hd + 1) * dh, :],
+            jnp.concatenate(out_heads, axis=-1), w["wo"][...],
             preferred_element_type=jnp.float32,
         )
-
     g_out = g_acc.astype(jnp.bfloat16)                # (N, D)
 
     # ---- cgMLP branch

@@ -62,24 +62,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from huggingface_asr_tpu.ops.pallas_layer import _erfc_rational
+from huggingface_asr_tpu.ops.pallas_layer import gelu_bf16 as _gelu_xla_bf16
 
-_SQRT_HALF_BF16 = 0.70703125  # float(jnp.bfloat16(np.sqrt(0.5)))
-
-
-def _gelu_xla_bf16(x_bf: jnp.ndarray) -> jnp.ndarray:
-    """Bit-exact replica of ``jax.nn.gelu(x, approximate=False)`` on bf16:
-    XLA evaluates ``0.5 * x * erfc(-x * bf16(sqrt(1/2)))`` with EVERY
-    elementwise op rounded to bf16 (erfc itself is computed in f32 and
-    rounded once). Reproducing the rounding chain makes the kernel agree
-    with the XLA path to the last bf16 ulp (modulo erfc tail rounding,
-    |err| <= 3e-7 in f32)."""
-    f32, bf = jnp.float32, jnp.bfloat16
-    xf = x_bf.astype(f32)
-    u = (xf * (-_SQRT_HALF_BF16)).astype(bf).astype(f32)
-    e = _erfc_rational(u).astype(bf).astype(f32)
-    half = (xf * 0.5).astype(bf).astype(f32)
-    return (half * e).astype(bf)
+# _gelu_xla_bf16 dispatches on pallas_layer.GELU_MODE: "bitexact" replicates
+# jax.nn.gelu(approximate=False)'s bf16 rounding chain op for op; "fast"
+# computes the same erfc-based GELU in f32 with one final rounding
+# (<= 1-2 bf16 ulp difference, ~35% fewer VPU ops).
 
 
 def fits_subsample_kernel(cfg) -> bool:
@@ -156,6 +144,10 @@ def fold_subsample_weights(enc_p: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]
     )
 
 
+SUB_CHUNKS = 4  # frequency-slab count for the conv1-GELU / conv2 software
+                # pipeline (trace-time knob). 1 = the monolithic schedule.
+
+
 def _subsample_kernel(
     patches_ref, B_ref, b1_ref, W2_ref, b2_ref,
     Wout_ref, bout_ref, lng_ref, lnb_ref, Wproj_ref, bproj_ref,
@@ -168,72 +160,107 @@ def _subsample_kernel(
     ab = set(ablate.split(",")) if ablate else set()
     gelu = (lambda z: z) if "no_gelu" in ab else _gelu_xla_bf16
 
-    # ---- conv1 (+bias, GELU): ONE (F1*G, 16) @ (16, 2C) MXU dot for all
-    # frequency groups. XLA rounding order: fp32 matmul acc -> bf16, +bias
-    # (bf16 add), GELU on the bf16 value (bf16 op chain), -> bf16. Lanes
-    # [0:C] of a group hold even frames (valid t2 < n_even), lanes [C:2C]
-    # odd (t2 < n_odd); rows the conv never produced must be EXACT ZERO —
-    # conv2's time padding reads them.
-    acc = jnp.dot(patches_ref[0], B_ref[...], preferred_element_type=f32)
-    h = acc.astype(bf) + b1_ref[0][None, :]
-    h = gelu(h).reshape(F1, G, 2 * C)
     row = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
-    z = jnp.zeros((F1, G, C), bf)
-    ev = jnp.where(row < n_even, h[:, :, :C], z)          # (F1, G, C)
-    od = jnp.where(row < n_odd, h[:, :, C:], z)
-    # odd frame 2*t2-1 (the kt=0 tap): shift one row up WITHIN each group,
-    # zero at the t2=0 time edge.
-    od_up = jnp.concatenate([z[:, :1], od[:, :-1]], axis=1)
+
+    def conv1_slab(g0: int, g1: int):
+        """conv1 (+bias, GELU) for frequency groups [g0, g1): ONE
+        (n*G, 16) @ (16, 2C) MXU dot. XLA rounding order: fp32 matmul acc
+        -> bf16, +bias (bf16 add), GELU on the bf16 value (bf16 op chain),
+        -> bf16. Lanes [0:C] of a group hold even frames (valid t2 <
+        n_even), lanes [C:2C] odd (t2 < n_odd); rows the conv never
+        produced must be EXACT ZERO — conv2's time padding reads them.
+        Row-slab splitting of the dot is bit-identical to the monolithic
+        dot (rows are independent)."""
+        n = g1 - g0
+        acc = jnp.dot(
+            patches_ref[0, g0 * G : g1 * G, :], B_ref[...],
+            preferred_element_type=f32,
+        )
+        h = acc.astype(bf) + b1_ref[0][None, :]
+        h = gelu(h).reshape(n, G, 2 * C)
+        z = jnp.zeros((n, G, C), bf)
+        ev = jnp.where(row < n_even, h[:, :, :C], z)      # (n, G, C)
+        od = jnp.where(row < n_odd, h[:, :, C:], z)
+        # odd frame 2*t2-1 (the kt=0 tap): shift one row up WITHIN each
+        # group, zero at the t2=0 time edge.
+        od_up = jnp.concatenate([z[:, :1], od[:, :-1]], axis=1)
+        return ev, od, od_up
 
     if "no_conv2" in ab:   # keep all conv1 work live for attribution benches
+        ev, od, od_up = conv1_slab(0, F1)
         out = jnp.sum(
             ev[..., : Wproj_ref.shape[0]].astype(f32), axis=0
         )
     else:
-        # ---- conv2 as 9 LARGE matmuls: term (kt, kf) for output group f2
-        # reads y1 group g = 2*f2+kf-1 (kt=0 -> odd frame 2*t2-1 (od_up),
-        # kt=1 -> even frame 2*t2, kt=2 -> odd frame 2*t2+1). For fixed kf
-        # the needed groups are the even (kf=1) or odd (kf=0,2) y1 groups in
-        # f2 order, so each tap is ONE (F2*G, C) @ (C, C) dot — same exact
-        # FLOPs as the per-f2 formulation (fp32 adds in the same
-        # kf-outer/kt-inner order => bit-identical), but the MXU sees
-        # M=F2*G instead of M=G. The parity split is a leading-dim reshape
-        # (F1,G,C)->(F2,2,G,C) + unit slice — Mosaic lowers that directly
-        # (a stride-2 slice would be an unsupported >2D gather). The f2=0,
-        # kf=0 edge group (g=-1) is an explicit zero slab (adding exact
-        # zeros, as the skip did).
+        # ---- conv1 -> conv2 as a SOFTWARE PIPELINE over SUB_CHUNKS
+        # frequency slabs. Each slab runs conv1+GELU for its y1 groups
+        # (with a one-group odd halo on the left, recomputed — ~2.5% extra
+        # conv1 work) and then conv2 as 9 LARGE matmuls over the slab:
+        # term (kt, kf) for output group f2 reads y1 group g = 2*f2+kf-1
+        # (kt=0 -> odd frame 2*t2-1 (od_up), kt=1 -> even frame 2*t2,
+        # kt=2 -> odd frame 2*t2+1); each tap is ONE (nF2*G, C) @ (C, C)
+        # dot. Chunking changes NO per-element fp32 add order (the 9-tap
+        # accumulation order and the matmul groupings per element are
+        # unchanged), so the result is bit-identical to the monolithic
+        # schedule — but slab c+1's GELU (pure VPU) has no data dependency
+        # on slab c's conv2 dots (pure MXU), so Mosaic's VLIW scheduler can
+        # overlap them; the monolithic schedule serializes ALL GELU before
+        # the first conv2 dot (measured ~4 ms of unhidden VPU per B=128
+        # batch).
+        # The f2=0, kf=0 edge group (g=-1) is an explicit zero slab
+        # (adding exact zeros, as a skip would).
+        n_ch = SUB_CHUNKS if "mono" not in ab else 1
+        assert F2 % n_ch == 0, (F2, n_ch)
+        cF2 = F2 // n_ch
         zedge = jnp.zeros((1, G, C), bf)
 
-        def stack(src, kf):
-            s4 = src.reshape(F2, 2, G, C)
-            if kf == 0:
-                s = jnp.concatenate([zedge, s4[:-1, 1]], axis=0)
-            elif kf == 1:
-                s = s4[:, 0]
-            else:
-                s = s4[:, 1]
-            return s.reshape(F2 * G, C)
+        out = None
+        for c in range(n_ch):
+            fs, fe = c * cF2, (c + 1) * cF2
+            # y1 groups needed: [2*fs - 1, 2*fe) — halo group 2*fs-1 (odd
+            # only) recomputed into this slab.
+            g0 = max(2 * fs - 1, 0)
+            ev, od, od_up = conv1_slab(g0, 2 * fe)
+            off = 2 * fs - g0                    # 0 for c=0, 1 otherwise
 
-        acc2 = jnp.zeros((F2 * G, C), f32)
-        for kf in range(3):
-            for kt, src in ((0, od_up), (1, ev), (2, od)):
-                acc2 = acc2 + jnp.dot(
-                    stack(src, kf), W2_ref[3 * kt + kf],
-                    preferred_element_type=f32,
-                )
-        y2 = acc2.astype(bf) + b2_ref[0][None, :]
-        y2 = gelu(y2).reshape(F2, G, C)
+            def stack(src, kf):
+                # rows of src are y1 groups [g0, 2*fe); group 2*f2+kf-1 for
+                # f2 in [fs, fe): kf=1 -> even groups (src[off+0::2]),
+                # kf=2 -> odd groups (src[off+1::2]), kf=0 -> odd groups
+                # shifted one down (src[off-1::2], zero slab at f2=0).
+                s4 = src[off:].reshape(cF2, 2, G, C)
+                if kf == 0:
+                    if off == 0:                 # first slab: g=-1 edge
+                        s = jnp.concatenate([zedge, s4[:-1, 1]], axis=0)
+                    else:                        # halo group at src[0]
+                        s = jnp.concatenate(
+                            [src[:1], s4[:-1, 1]], axis=0
+                        )
+                elif kf == 1:
+                    s = s4[:, 0]
+                else:
+                    s = s4[:, 1]
+                return s.reshape(cF2 * G, C)
 
-        # ---- distributed out-dense: out = sum_f2 y2[f2] @ Wout[f2] as one
-        # batched dot + a slab reduction (same per-element fp32 add order
-        # along f2 as the sequential accumulation).
-        out3 = jax.lax.dot_general(
-            y2, Wout_ref[...], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )                                        # (F2, G, D)
-        out = out3[0]
-        for f2 in range(1, F2):
-            out = out + out3[f2]
+            acc2 = jnp.zeros((cF2 * G, C), f32)
+            for kf in range(3):
+                for kt, src in ((0, od_up), (1, ev), (2, od)):
+                    acc2 = acc2 + jnp.dot(
+                        stack(src, kf), W2_ref[3 * kt + kf],
+                        preferred_element_type=f32,
+                    )
+            y2 = acc2.astype(bf) + b2_ref[0][None, :]
+            y2 = gelu(y2).reshape(cF2, G, C)
+
+            # ---- distributed out-dense: out += sum_f2 y2[f2] @ Wout[f2]
+            # (same per-element fp32 add order along f2 as the sequential
+            # accumulation).
+            out3 = jax.lax.dot_general(
+                y2, Wout_ref[fs:fe], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )                                    # (cF2, G, D)
+            for f2 in range(cF2):
+                out = out3[f2] if out is None else out + out3[f2]
 
     # ---- out bias, LayerNorm (fp32 stats), projection.
     # LayerNorm, replicating flax's rounding chain exactly: f32 stats with

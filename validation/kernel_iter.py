@@ -32,6 +32,13 @@ def main():
                     help="comma-of-semicolon list: each ';'-separated entry "
                          "is one variant benchmarked in sequence")
     ap.add_argument("--layers", type=int, default=1)
+    ap.add_argument("--attn_out", default="distributed",
+                    help="';'-separated ATTN_OUT_MODE variants "
+                         "(distributed/assembled)")
+    ap.add_argument("--bb_sweep", default="",
+                    help="';'-separated bb variants (overrides --bb)")
+    ap.add_argument("--gelu", default="bitexact",
+                    help="';'-separated GELU_MODE variants (bitexact/fast)")
     args = ap.parse_args()
 
     import jax
@@ -70,31 +77,43 @@ def main():
 
     xstack = jnp.stack(xs)  # (iters, B, T, D)
 
-    for ablate in args.ablate.split(";"):
+    from huggingface_asr_tpu.ops import pallas_layer
+
+    bbs = [int(b) for b in args.bb_sweep.split(";")] if args.bb_sweep else [args.bb]
+    variants = [
+        (a, m, bb, g)
+        for a in args.ablate.split(";")
+        for m in args.attn_out.split(";")
+        for bb in bbs
+        for g in args.gelu.split(";")
+    ]
+    for ablate, attn_out, bb, gelu in variants:
+        pallas_layer.ATTN_OUT_MODE = attn_out
+        pallas_layer.GELU_MODE = gelu
 
         # ALL iterations inside ONE compiled program (lax.scan over the
         # stacked inputs, like bench.py): the ~29 ms axon dispatch RTT is
         # paid once, not per iteration — deltas are pure device time.
         # NOTE: fetch the scalar with float() — on the axon transport,
         # block_until_ready on a device array does not reliably wait.
-        @partial(jax.jit, static_argnums=(1,))
-        def run(xst, ab):
+        @partial(jax.jit, static_argnums=(1, 2))
+        def run(xst, ab, bb):
             def body(carry, x):
                 for _ in range(args.layers):
                     x = ebranchformer_layer(
-                        x, lens, folded, config, bb=args.bb, ablate=ab
+                        x, lens, folded, config, bb=bb, ablate=ab
                     )
                 return carry, jnp.sum(x.astype(jnp.float32))
             _, sums = jax.lax.scan(body, 0.0, xst)
             return jnp.sum(sums)
 
-        float(run(xstack, ablate))
+        float(run(xstack, ablate, bb))
         t0 = time.perf_counter()
-        float(run(xstack, ablate))
+        float(run(xstack, ablate, bb))
         dt = (time.perf_counter() - t0) / args.iters / args.layers
         print(json.dumps({
-            "ablate": ablate, "bb": args.bb, "B": B, "T": T,
-            "ms_per_layer": round(dt * 1e3, 3),
+            "ablate": ablate, "attn_out": attn_out, "bb": bb, "gelu": gelu,
+            "B": B, "T": T, "ms_per_layer": round(dt * 1e3, 3),
         }), flush=True)
 
 

@@ -31,6 +31,8 @@ def main():
                          "{no_gelu,no_conv2}; empty entry = full kernel")
     ap.add_argument("--recip", default="off",
                     help="';'-separated RECIP_MODE variants (off/newton/approx)")
+    ap.add_argument("--gelu", default="bitexact",
+                    help="';'-separated GELU_MODE variants (bitexact/fast)")
     args = ap.parse_args()
 
     import jax
@@ -68,12 +70,14 @@ def main():
     jax.block_until_ready(feats)
 
     variants = [
-        (a.strip(), r.strip())
+        (a.strip(), r.strip(), g.strip())
+        for g in args.gelu.split(";")
         for r in args.recip.split(";")
         for a in args.ablate.split(";")
     ]
-    for variant, recip in variants:
+    for variant, recip, gelu in variants:
         pallas_layer.RECIP_MODE = recip
+        pallas_layer.GELU_MODE = gelu
 
         @jax.jit
         def fn(feats):
@@ -93,7 +97,7 @@ def main():
         float(fn(feats))
         dt = (time.perf_counter() - t0) / args.iters
         print(json.dumps({
-            "variant": variant or "full", "recip": recip,
+            "variant": variant or "full", "recip": recip, "gelu": gelu,
             "ms": round(dt * 1e3, 3),
         }), flush=True)
 
