@@ -144,10 +144,6 @@ def fold_subsample_weights(enc_p: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]
     )
 
 
-SUB_CHUNKS = 4  # frequency-slab count for the conv1-GELU / conv2 software
-                # pipeline (trace-time knob). 1 = the monolithic schedule.
-
-
 def _subsample_kernel(
     patches_ref, B_ref, b1_ref, W2_ref, b2_ref,
     Wout_ref, bout_ref, lng_ref, lnb_ref, Wproj_ref, bproj_ref,
@@ -162,105 +158,73 @@ def _subsample_kernel(
 
     row = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
 
-    def conv1_slab(g0: int, g1: int):
-        """conv1 (+bias, GELU) for frequency groups [g0, g1): ONE
-        (n*G, 16) @ (16, 2C) MXU dot. XLA rounding order: fp32 matmul acc
-        -> bf16, +bias (bf16 add), GELU on the bf16 value (bf16 op chain),
-        -> bf16. Lanes [0:C] of a group hold even frames (valid t2 <
-        n_even), lanes [C:2C] odd (t2 < n_odd); rows the conv never
-        produced must be EXACT ZERO — conv2's time padding reads them.
-        Row-slab splitting of the dot is bit-identical to the monolithic
-        dot (rows are independent)."""
-        n = g1 - g0
-        acc = jnp.dot(
-            patches_ref[0, g0 * G : g1 * G, :], B_ref[...],
-            preferred_element_type=f32,
-        )
-        h = acc.astype(bf) + b1_ref[0][None, :]
-        h = gelu(h).reshape(n, G, 2 * C)
-        z = jnp.zeros((n, G, C), bf)
-        ev = jnp.where(row < n_even, h[:, :, :C], z)      # (n, G, C)
-        od = jnp.where(row < n_odd, h[:, :, C:], z)
-        # odd frame 2*t2-1 (the kt=0 tap): shift one row up WITHIN each
-        # group, zero at the t2=0 time edge.
-        od_up = jnp.concatenate([z[:, :1], od[:, :-1]], axis=1)
-        return ev, od, od_up
+    # ---- conv1 (+bias, GELU): ONE (F1*G, 16) @ (16, 2C) MXU dot for all
+    # frequency groups. XLA rounding order: fp32 matmul acc -> bf16, +bias
+    # (bf16 add), GELU on the bf16 value (bf16 op chain), -> bf16. Lanes
+    # [0:C] of a group hold even frames (valid t2 < n_even), lanes [C:2C]
+    # odd (t2 < n_odd); rows the conv never produced must be EXACT ZERO —
+    # conv2's time padding reads them.
+    # Patch rows are PARITY-MAJOR over frequency groups ([even groups g=2j |
+    # odd groups g=2j+1], each in j order — see conv_subsample_fused): the
+    # conv2 tap operands below are then contiguous row blocks (one slice),
+    # not stride-2 group gathers (which needed a (F2,2,G,C)-reshape copy per
+    # tap in the g-ordered layout).
+    acc = jnp.dot(patches_ref[0], B_ref[...], preferred_element_type=f32)
+    h = acc.astype(bf) + b1_ref[0][None, :]
+    h = gelu(h).reshape(F1, G, 2 * C)
+    z = jnp.zeros((F1, G, C), bf)
+    ev = jnp.where(row < n_even, h[:, :, :C], z)          # (F1, G, C)
+    od = jnp.where(row < n_odd, h[:, :, C:], z)
+    # odd frame 2*t2-1 (the kt=0 tap): shift one row up WITHIN each group,
+    # zero at the t2=0 time edge.
+    od_up = jnp.concatenate([z[:, :1], od[:, :-1]], axis=1)
 
     if "no_conv2" in ab:   # keep all conv1 work live for attribution benches
-        ev, od, od_up = conv1_slab(0, F1)
         out = jnp.sum(
             ev[..., : Wproj_ref.shape[0]].astype(f32), axis=0
         )
     else:
-        # ---- conv1 -> conv2 as a SOFTWARE PIPELINE over SUB_CHUNKS
-        # frequency slabs. Each slab runs conv1+GELU for its y1 groups
-        # (with a one-group odd halo on the left, recomputed — ~2.5% extra
-        # conv1 work) and then conv2 as 9 LARGE matmuls over the slab:
-        # term (kt, kf) for output group f2 reads y1 group g = 2*f2+kf-1
-        # (kt=0 -> odd frame 2*t2-1 (od_up), kt=1 -> even frame 2*t2,
-        # kt=2 -> odd frame 2*t2+1); each tap is ONE (nF2*G, C) @ (C, C)
-        # dot. Chunking changes NO per-element fp32 add order (the 9-tap
-        # accumulation order and the matmul groupings per element are
-        # unchanged), so the result is bit-identical to the monolithic
-        # schedule — but slab c+1's GELU (pure VPU) has no data dependency
-        # on slab c's conv2 dots (pure MXU), so Mosaic's VLIW scheduler can
-        # overlap them; the monolithic schedule serializes ALL GELU before
-        # the first conv2 dot (measured ~4 ms of unhidden VPU per B=128
-        # batch).
-        # The f2=0, kf=0 edge group (g=-1) is an explicit zero slab
-        # (adding exact zeros, as a skip would).
-        n_ch = SUB_CHUNKS if "mono" not in ab else 1
-        assert F2 % n_ch == 0, (F2, n_ch)
-        cF2 = F2 // n_ch
+        # ---- conv2 as 9 LARGE matmuls: term (kt, kf) for output group f2
+        # reads y1 group g = 2*f2+kf-1 (kt=0 -> odd frame 2*t2-1 (od_up),
+        # kt=1 -> even frame 2*t2, kt=2 -> odd frame 2*t2+1). In the
+        # parity-major layout the groups needed for fixed kf are one
+        # CONTIGUOUS block: kf=1 -> the even block [0, F2), kf=2 -> the odd
+        # block [F2, 2*F2), kf=0 -> the odd block shifted one group down
+        # (zero slab at the f2=0 edge, adding exact zeros as a skip would).
+        # Each tap is ONE (F2*G, C) @ (C, C) dot — same exact FLOPs as the
+        # per-f2 formulation, fp32 adds in the same kf-outer/kt-inner order
+        # => bit-identical.
         zedge = jnp.zeros((1, G, C), bf)
 
-        out = None
-        for c in range(n_ch):
-            fs, fe = c * cF2, (c + 1) * cF2
-            # y1 groups needed: [2*fs - 1, 2*fe) — halo group 2*fs-1 (odd
-            # only) recomputed into this slab.
-            g0 = max(2 * fs - 1, 0)
-            ev, od, od_up = conv1_slab(g0, 2 * fe)
-            off = 2 * fs - g0                    # 0 for c=0, 1 otherwise
+        def stack(src, kf):
+            if kf == 0:
+                s = jnp.concatenate([zedge, src[F2 : 2 * F2 - 1]], axis=0)
+            elif kf == 1:
+                s = src[:F2]
+            else:
+                s = src[F2:]
+            return s.reshape(F2 * G, C)
 
-            def stack(src, kf):
-                # rows of src are y1 groups [g0, 2*fe); group 2*f2+kf-1 for
-                # f2 in [fs, fe): kf=1 -> even groups (src[off+0::2]),
-                # kf=2 -> odd groups (src[off+1::2]), kf=0 -> odd groups
-                # shifted one down (src[off-1::2], zero slab at f2=0).
-                s4 = src[off:].reshape(cF2, 2, G, C)
-                if kf == 0:
-                    if off == 0:                 # first slab: g=-1 edge
-                        s = jnp.concatenate([zedge, s4[:-1, 1]], axis=0)
-                    else:                        # halo group at src[0]
-                        s = jnp.concatenate(
-                            [src[:1], s4[:-1, 1]], axis=0
-                        )
-                elif kf == 1:
-                    s = s4[:, 0]
-                else:
-                    s = s4[:, 1]
-                return s.reshape(cF2 * G, C)
+        acc2 = jnp.zeros((F2 * G, C), f32)
+        for kf in range(3):
+            for kt, src in ((0, od_up), (1, ev), (2, od)):
+                acc2 = acc2 + jnp.dot(
+                    stack(src, kf), W2_ref[3 * kt + kf],
+                    preferred_element_type=f32,
+                )
+        y2 = acc2.astype(bf) + b2_ref[0][None, :]
+        y2 = gelu(y2).reshape(F2, G, C)
 
-            acc2 = jnp.zeros((cF2 * G, C), f32)
-            for kf in range(3):
-                for kt, src in ((0, od_up), (1, ev), (2, od)):
-                    acc2 = acc2 + jnp.dot(
-                        stack(src, kf), W2_ref[3 * kt + kf],
-                        preferred_element_type=f32,
-                    )
-            y2 = acc2.astype(bf) + b2_ref[0][None, :]
-            y2 = gelu(y2).reshape(cF2, G, C)
-
-            # ---- distributed out-dense: out += sum_f2 y2[f2] @ Wout[f2]
-            # (same per-element fp32 add order along f2 as the sequential
-            # accumulation).
-            out3 = jax.lax.dot_general(
-                y2, Wout_ref[fs:fe], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )                                    # (cF2, G, D)
-            for f2 in range(cF2):
-                out = out3[f2] if out is None else out + out3[f2]
+        # ---- distributed out-dense: out = sum_f2 y2[f2] @ Wout[f2] as one
+        # batched dot + a slab reduction (same per-element fp32 add order
+        # along f2 as the sequential accumulation).
+        out3 = jax.lax.dot_general(
+            y2, Wout_ref[...], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )                                        # (F2, G, D)
+        out = out3[0]
+        for f2 in range(1, F2):
+            out = out + out3[f2]
 
     # ---- out bias, LayerNorm (fp32 stats), projection.
     # LayerNorm, replicating flax's rounding chain exactly: f32 stats with
@@ -313,15 +277,22 @@ def conv_subsample_fused(
         mel = jnp.pad(mel, ((0, 0), (0, rows_need - T_in), (0, 0)))
     else:
         mel = mel[:, :rows_need]
-    # im2col patches (bandwidth-only XLA ops: 15 strided slices + stack +
+    # im2col patches (bandwidth-only XLA ops: 30 strided slices + stack +
     # transpose). Tap (r, kf) of patch (g, t2) = mel[4*t2 + r - 1,
     # 2*g + kf - 1]; the kernel contracts the 16 tap lanes with Wtap.
+    # Frequency groups are laid out PARITY-MAJOR ([even g | odd g]) so the
+    # kernel's conv2 tap operands are contiguous row blocks (see
+    # _subsample_kernel) — even group j=g/2 reads freq 4j+kf-1, odd group
+    # j=(g-1)/2 reads freq 4j+kf+1.
     mel_ext = jnp.pad(mel, ((0, 0), (1, 0), (1, 1)))     # row 4t2+r, freq 2g+kf
-    taps = [
-        mel_ext[:, r::4][:, :T2_pad, kf : kf + 2 * F1 : 2]
-        for r in range(5)
-        for kf in range(3)
-    ]
+    taps = []
+    for r in range(5):
+        sl = mel_ext[:, r::4][:, :T2_pad]
+        for kf in range(3):
+            taps.append(jnp.concatenate([
+                sl[:, :, kf : kf + 2 * F1 : 4],          # even groups
+                sl[:, :, kf + 2 : kf + 2 + 2 * F1 : 4],  # odd groups
+            ], axis=-1))
     pat = jnp.stack(taps, axis=-1)                       # (B, T2, F1, 15)
     pat = jnp.pad(pat, ((0, 0), (0, 0), (0, 0), (0, 1)))
     pat = jnp.transpose(pat, (0, 2, 1, 3))               # (B, F1, T2, 16)
