@@ -408,9 +408,12 @@ def _layer_kernel(*refs, st: LayerStatic):
             preferred_element_type=jnp.float32,
         )                                              # (bb, T, T)
         # 1/sqrt(dh) pre-folded into wq/bq_u and the qv path (fold_layer_weights)
+        # log2(e) is pre-folded into wq/bq_u/bq_v (fold_layer_weights), so
+        # softmax runs on exp2 directly — saves the per-element x*log2(e)
+        # multiply that exp lowers to on the VPU. exp2(s*log2e) == exp(s).
         scores = jnp.where(kmask, ac + bd, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
+        e = jnp.exp2(scores - m)
         z = jnp.sum(e, axis=-1, keepdims=True)         # (bb, T, 1) f32
         out_h = jax.lax.dot_general(
             e.astype(jnp.bfloat16), vh, (((2,), (1,)), ((0,), (0,))),
@@ -503,7 +506,9 @@ def fold_layer_weights(
     H = cfg.num_attention_heads
     dh = D // H
     bf = jnp.bfloat16
-    inv = np.float32(1.0 / np.sqrt(dh))
+    # 1/sqrt(dh) attention scale AND log2(e) (the kernel's softmax uses
+    # exp2 — see _layer_kernel) folded into the query path.
+    inv = np.float32(np.log2(np.e) / np.sqrt(dh))
 
     def ln2(p):
         # f32, matching flax (LayerNorm params are f32; bf16 storage would

@@ -1,0 +1,109 @@
+"""Transcript-level gate for fused-kernel numeric modes.
+
+Decodes the WER-parity checkpoint's held-out test set through the fused
+serving path (mel kernel + subsampler kernel + layer kernel, the exact
+serving/pipeline.py configuration) under multiple (GELU_MODE, RECIP_MODE)
+variants and compares transcripts. A faster mode is shippable as the
+serving default only if its transcripts are byte-identical to the
+"bitexact" mode's (which validation/wer_parity.py proves equal to the
+torch reference).
+
+Run after wer_parity has trained /tmp/wer_val:
+  python validation/fused_mode_check.py --work_dir /tmp/wer_val
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def decode(work, gelu_mode: str, recip_mode: str):
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    import datasets
+
+    from huggingface_asr_tpu.models.configs import EBranchformerConfig
+    from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused
+    from huggingface_asr_tpu.ops import pallas_layer
+    from huggingface_asr_tpu.ops.ctc import ctc_greedy_decode
+    from huggingface_asr_tpu.ops.features import LogMelConfig
+    from huggingface_asr_tpu.ops.pallas_features import PallasLogMelFrontEnd
+    from huggingface_asr_tpu.training.model_factory import load_config, load_params
+
+    pallas_layer.GELU_MODE = gelu_mode
+    pallas_layer.RECIP_MODE = recip_mode
+
+    final = os.path.join(work, "ctc", "final")
+    config = load_config(final, EBranchformerConfig)
+    params = load_params(final)
+    tok = AutoTokenizer.from_pretrained(os.path.join(work, "tok"))
+    frontend = PallasLogMelFrontEnd(
+        LogMelConfig(matmul_precision="high"), fused_cmvn_bf16=True
+    )
+
+    ds_dir = os.path.join(work, "ds_hard")
+    if not os.path.exists(ds_dir):
+        ds_dir = os.path.join(work, "ds")
+    dd = datasets.load_from_disk(ds_dir)["test"]
+    wavs = [np.asarray(ex["audio"], np.float32) for ex in dd]
+    refs = [ex["text"] for ex in dd]
+    S = max(len(w) for w in wavs)
+    batchw = np.zeros((len(wavs), S), np.float32)
+    for i, wv in enumerate(wavs):
+        batchw[i, : len(wv)] = wv
+    lens = jnp.asarray([len(w) for w in wavs], jnp.int32)
+
+    feats, flens = frontend(jnp.asarray(batchw), lens)
+    bb = 4 if len(wavs) % 4 == 0 else 1
+    out = ctc_infer_fused(params, config, feats, flens, bb=bb)
+    toks, ntoks = ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+    toks, ntoks = np.asarray(toks), np.asarray(ntoks)
+    hyps = [
+        tok.decode([int(t) for t in toks[i, : ntoks[i]]], skip_special_tokens=True)
+        for i in range(len(wavs))
+    ]
+    return hyps, refs
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work_dir", default="/tmp/wer_val")
+    ap.add_argument("--variants", default="bitexact:newton;fast:newton;fast:approx")
+    args = ap.parse_args(argv)
+
+    from huggingface_asr_tpu.utils.metrics import wer as wer_fn
+
+    base_hyps = None
+    report = {}
+    for v in args.variants.split(";"):
+        gelu, recip = v.split(":")
+        hyps, refs = decode(args.work_dir, gelu, recip)
+        w = wer_fn(refs, hyps)
+        if base_hyps is None:
+            base_hyps = hyps
+            report[v] = {"wer": round(float(w), 4), "identical_to_bitexact": "base"}
+        else:
+            n = sum(a.strip() == b.strip() for a, b in zip(hyps, base_hyps))
+            report[v] = {
+                "wer": round(float(w), 4),
+                "identical_to_bitexact": f"{n}/{len(hyps)}",
+            }
+        print(json.dumps({v: report[v]}), flush=True)
+
+    with open(os.path.join(args.work_dir, "fused_mode_check.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main()
