@@ -111,7 +111,7 @@ def main():
     S = int(16000 * seconds)
 
     rng = np.random.default_rng(0)
-    iters = 20
+    iters = 28
     # Waveforms enter in the hop-row layout (a free host-side np.reshape of
     # the padded buffer — see PallasLogMelFrontEnd.rows_alloc); this removes
     # the on-device pad+reshape relayout from the front end.
@@ -168,7 +168,7 @@ def main():
             {
                 "metric": "ebranchformer_ctc_infer_rtfx",
                 "value": round(rtfx, 1),
-                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy; 20 distinct batches per dispatch to amortize the ~29 ms tunnel RTT); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
+                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy; 28 distinct batches per dispatch to amortize the ~29 ms tunnel RTT); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
                 "vs_baseline": round(rtfx * 8 / roofline, 3),
                 "vs_peak_hypothetical": round(rtfx * 8 / peak_hypo, 3),
                 "host_feed_rtfx": round(feed, 1),

@@ -63,6 +63,28 @@ def test_fused_layer_matches_flax():
     assert diff.max() <= 0.05 * max(scale, 1.0), (diff.max(), scale)
 
 
+def test_fused_layer_fast_gelu_mode_close_to_bitexact():
+    """GELU_MODE='fast' (f32 single-rounding, the parity-gated serving
+    mode) must stay within a couple of bf16 ulps of the bitexact chain
+    through the full fused pipeline."""
+    from huggingface_asr_tpu.ops import pallas_layer
+
+    model, params, x, lens = _setup()
+    ref = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
+    assert pallas_layer.GELU_MODE == "bitexact"  # module default
+    try:
+        pallas_layer.GELU_MODE = "fast"
+        got = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
+    finally:
+        pallas_layer.GELU_MODE = "bitexact"
+    r = np.asarray(ref.logits, np.float32)
+    g = np.asarray(got.logits, np.float32)
+    valid = np.arange(r.shape[1])[None, :] < np.asarray(got.logit_lengths)[:, None]
+    diff = np.abs(g - r)[valid]
+    scale = np.abs(r[valid]).max()
+    assert diff.max() <= 0.05 * max(scale, 1.0), (diff.max(), scale)
+
+
 def test_fused_layer_bb1_serving_shape():
     """bb=1 (the serving pipeline's block size) must agree with bb=2."""
     model, params, x, lens = _setup(B=2, T_in=64)
