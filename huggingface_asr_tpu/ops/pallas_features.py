@@ -110,7 +110,7 @@ def _split_hi_lo(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _mel_kernel(rows_ref, dft_ref, mel_ref, *rest,
-                n_rows, n_bands, nbins, floor, highest,
+                n_rows, n_bands, nbins, floor, mode,
                 fuse_cmvn=False, norm_means=True, norm_vars=True):
     if fuse_cmvn:
         len_ref, o_ref = rest
@@ -126,10 +126,19 @@ def _mel_kernel(rows_ref, dft_ref, mel_ref, *rest,
     coef = None
     for j in range(n_bands):
         v = rows_ref[0, j : j + n_rows, :]                  # (n_rows, hop)
-        if highest:
+        if mode == "highest":
             part = jax.lax.dot_general(
                 v, dft_ref[0, j], (((1,), (0,)), ((), ())),
                 precision=HI, preferred_element_type=jnp.float32,
+            )
+        elif mode == "bf16":
+            # single bf16 pass (hi operands only): DFT coefficient error
+            # ~2^-8 relative — shippable for serving only behind a
+            # transcript-parity gate (validation/fused_mode_check.py).
+            part = jax.lax.dot_general(
+                v.astype(jnp.bfloat16), dft_ref[0, j],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
         else:
             # manual 3-pass fp32: (hi+lo) @ (hi+lo) minus the lo·lo term
@@ -197,15 +206,15 @@ class PallasLogMelFrontEnd:
         applies to its input anyway."""
         if config.norm_type == "global":
             raise NotImplementedError("use LogMelFrontEnd for global CMVN")
-        if config.matmul_precision not in ("highest", "high"):
+        if config.matmul_precision not in ("highest", "high", "bf16"):
             raise NotImplementedError(
                 "PallasLogMelFrontEnd supports matmul_precision in "
-                "{'highest', 'high'}"
+                "{'highest', 'high', 'bf16'}"
             )
         self.fused_cmvn = fused_cmvn_bf16
         self.config = config
         self.interpret = interpret
-        self._highest = config.matmul_precision == "highest"
+        self._mode = config.matmul_precision
         dft, mel = folded_bases(config)
 
         hop, L = config.hop_length, config.frame_length
@@ -217,8 +226,11 @@ class PallasLogMelFrontEnd:
         for j in range(nb):
             rows = dft[j * hop : min((j + 1) * hop, L)]
             dft_b[j, : rows.shape[0]] = rows
-        if self._highest:
+        if self._mode == "highest":
             self._dft = jnp.asarray(dft_b[None])          # (1, nb, hop, 2N) f32
+        elif self._mode == "bf16":
+            hi, _ = _split_hi_lo(dft_b)
+            self._dft = jnp.asarray(hi[None])             # (1, nb, hop, 2N) bf16
         else:
             hi, lo = _split_hi_lo(dft_b)
             self._dft = jnp.asarray(np.stack([hi, lo]))   # (2, nb, hop, 2N) bf16
@@ -313,7 +325,7 @@ class PallasLogMelFrontEnd:
             partial(
                 _mel_kernel, n_rows=n_rows, n_bands=self._n_bands,
                 nbins=self._nbins,
-                floor=np.float32(cfg.mel_floor), highest=self._highest,
+                floor=np.float32(cfg.mel_floor), mode=self._mode,
                 fuse_cmvn=fuse, norm_means=cfg.normalize_means,
                 norm_vars=cfg.normalize_vars,
             ),

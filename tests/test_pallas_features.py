@@ -102,3 +102,23 @@ def test_pallas_mel_high_precision_close_to_highest():
     np.testing.assert_allclose(
         np.asarray(f_got), np.asarray(f_ref), rtol=0, atol=2e-2
     )
+
+
+def test_pallas_mel_bf16_precision_bounded():
+    """Single-pass 'bf16' DFT mode (serving candidate, transcript-gated by
+    validation/fused_mode_check.py): post-CMVN features stay within ~0.2
+    absolute of the fp32 features. CMVN normalizes variance to 1, so 0.2 is
+    0.2 sigma — coarse, which is exactly why the mode ships only behind the
+    transcript-identity gate."""
+    cfg_hi = LogMelConfig()
+    cfg_b = LogMelConfig(matmul_precision="bf16")
+    rng = np.random.default_rng(3)
+    B, S = 2, 16000
+    wav = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+    f_ref, _ = PallasLogMelFrontEnd(cfg_hi, interpret=True)(wav)
+    f_got, _ = PallasLogMelFrontEnd(cfg_b, interpret=True)(wav)
+    np.testing.assert_allclose(
+        np.asarray(f_got), np.asarray(f_ref), rtol=0, atol=0.2
+    )
+    # and it must be a real approximation, not a broken path
+    assert float(np.abs(np.asarray(f_got) - np.asarray(f_ref)).mean()) < 0.02

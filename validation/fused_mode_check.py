@@ -26,7 +26,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def decode(work, gelu_mode: str, recip_mode: str):
+def decode(work, gelu_mode: str, recip_mode: str, fe_precision: str = "high"):
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -48,7 +48,7 @@ def decode(work, gelu_mode: str, recip_mode: str):
     params = load_params(final)
     tok = AutoTokenizer.from_pretrained(os.path.join(work, "tok"))
     frontend = PallasLogMelFrontEnd(
-        LogMelConfig(matmul_precision="high"), fused_cmvn_bf16=True
+        LogMelConfig(matmul_precision=fe_precision), fused_cmvn_bf16=True
     )
 
     ds_dir = os.path.join(work, "ds_hard")
@@ -78,7 +78,13 @@ def decode(work, gelu_mode: str, recip_mode: str):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--work_dir", default="/tmp/wer_val")
-    ap.add_argument("--variants", default="bitexact:newton;fast:newton;fast:approx")
+    ap.add_argument(
+        "--variants",
+        default="bitexact:newton;fast:newton;fast:approx;"
+                "fast:newton:bf16;bitexact:newton:bf16",
+        help="';'-separated GELU_MODE:RECIP_MODE[:fe_matmul_precision] "
+             "variants (fe precision defaults to 'high', the serving DFT)",
+    )
     args = ap.parse_args(argv)
 
     from huggingface_asr_tpu.utils.metrics import wer as wer_fn
@@ -86,8 +92,10 @@ def main(argv=None):
     base_hyps = None
     report = {}
     for v in args.variants.split(";"):
-        gelu, recip = v.split(":")
-        hyps, refs = decode(args.work_dir, gelu, recip)
+        parts = v.split(":")
+        gelu, recip = parts[0], parts[1]
+        fe = parts[2] if len(parts) > 2 else "high"
+        hyps, refs = decode(args.work_dir, gelu, recip, fe)
         w = wer_fn(refs, hyps)
         if base_hyps is None:
             base_hyps = hyps
