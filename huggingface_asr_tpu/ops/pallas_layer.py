@@ -104,6 +104,17 @@ RECIP_MODE = "newton"  # "off" (exact divide) | "newton" (approx + 1 Newton
                     # can set it per-variant.
 
 
+SOFTMAX_Z_MODE = "vpu"  # "vpu": z = jnp.sum(e) — a full VPU reduction pass
+                        # over the (bb, T, T) exp'd scores per head.
+                        # "mxu": append a ones column to V and read z from
+                        # the probs@V matmul's extra lane — the MXU N dim
+                        # is dh(=32) of 128 lanes either way, so the sum is
+                        # FREE on the MXU and the VPU pass disappears.
+                        # z then sums bf16-rounded e in the MXU's f32 tree
+                        # (vs f32 e on the VPU) — a ~2^-8-relative z
+                        # perturbation on a value that only normalizes
+                        # probs; transcript-gated like the other modes.
+
 ATTN_OUT_MODE = "assembled"  # "distributed" | "assembled" — see the
                              # attention-branch comment in _layer_kernel.
                              # Trace-time knob; measured on chip (12-layer
@@ -172,9 +183,13 @@ GELU_MODE = "bitexact"  # "bitexact" replicates the XLA bf16 rounding chain
                         # "fast" computes the same erfc-based GELU entirely
                         # in f32 with ONE final bf16 rounding (~16 ops) —
                         # |difference| <= 1-2 bf16 ulp from the dropped
-                        # intermediate roundings. Trace-time knob; the
-                        # serving/bench path may enable "fast" only behind
-                        # a fused-transcript parity re-validation.
+                        # intermediate roundings; "fastest" additionally
+                        # swaps the erfc rational for A&S 7.1.27 (|erfc err|
+                        # <= 5e-4 — still ~16x below bf16's 2^-8 resolution;
+                        # ~9 ops). Trace-time knob; the serving/bench path
+                        # may enable a faster mode only behind a
+                        # fused-transcript parity re-validation
+                        # (validation/fused_mode_check.py).
 
 
 def _gelu_fast(x_bf):
@@ -185,9 +200,32 @@ def _gelu_fast(x_bf):
     return (0.5 * xf * _erfc_rational(xf * (-_SQRT_HALF))).astype(jnp.bfloat16)
 
 
+def _erfc_rational4(x):
+    """erfc via A&S 7.1.27: 1/(1 + a1 x + .. + a4 x^4)^4 for x >= 0,
+    |err| <= 5e-4 absolute — 2^-8 (bf16 resolution) is 3.9e-3, so a GELU
+    built on this is within ~1/8 bf16 ulp of exact for all |x|. 4 FMAs,
+    2 squarings, one reciprocal."""
+    a1, a2, a3, a4 = 0.278393, 0.230389, 0.000972, 0.078108
+    ax = jnp.abs(x)
+    p = ((((a4 * ax + a3) * ax + a2) * ax + a1) * ax + 1.0)
+    p2 = p * p
+    inv = _recip(p2 * p2)
+    return jnp.where(x >= 0, inv, 2.0 - inv)
+
+
+def _gelu_fastest(x_bf):
+    """f32 GELU with the 7.1.27 erfc (|gelu err| <= 2.5e-4*|x| — far below
+    one bf16 ulp of the value), one final bf16 rounding. ~9 VPU
+    ops/element vs bitexact's ~25."""
+    xf = x_bf.astype(jnp.float32)
+    return (0.5 * xf * _erfc_rational4(xf * (-_SQRT_HALF))).astype(jnp.bfloat16)
+
+
 def gelu_bf16(x_bf):
     """bf16 GELU dispatcher for the fused kernels (reads GELU_MODE at
     trace time)."""
+    if GELU_MODE == "fastest":
+        return _gelu_fastest(x_bf)
     return _gelu_fast(x_bf) if GELU_MODE == "fast" else _gelu_bf16(x_bf)
 
 
@@ -414,12 +452,22 @@ def _layer_kernel(*refs, st: LayerStatic):
         scores = jnp.where(kmask, ac + bd, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp2(scores - m)
-        z = jnp.sum(e, axis=-1, keepdims=True)         # (bb, T, 1) f32
-        out_h = jax.lax.dot_general(
-            e.astype(jnp.bfloat16), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                              # (bb, T, dh)
-        out_h = out_h * (1.0 / z)                      # normalize post-PV
+        if SOFTMAX_Z_MODE == "mxu":
+            vh1 = jnp.concatenate(
+                [vh, jnp.ones((bb, T, 1), jnp.bfloat16)], axis=-1
+            )
+            out_z = jax.lax.dot_general(
+                e.astype(jnp.bfloat16), vh1, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                          # (bb, T, dh+1)
+            out_h = out_z[..., :dh] * (1.0 / out_z[..., dh:])
+        else:
+            z = jnp.sum(e, axis=-1, keepdims=True)     # (bb, T, 1) f32
+            out_h = jax.lax.dot_general(
+                e.astype(jnp.bfloat16), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                          # (bb, T, dh)
+            out_h = out_h * (1.0 / z)                  # normalize post-PV
         if ATTN_OUT_MODE == "assembled":
             out_heads.append(out_h.astype(jnp.bfloat16).reshape(N, dh))
         else:

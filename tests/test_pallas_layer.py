@@ -63,20 +63,30 @@ def test_fused_layer_matches_flax():
     assert diff.max() <= 0.05 * max(scale, 1.0), (diff.max(), scale)
 
 
-def test_fused_layer_fast_gelu_mode_close_to_bitexact():
-    """GELU_MODE='fast' (f32 single-rounding, the parity-gated serving
-    mode) must stay within a couple of bf16 ulps of the bitexact chain
+@pytest.mark.parametrize(
+    "gelu_mode,z_mode",
+    [("fast", "vpu"), ("fastest", "vpu"), ("bitexact", "mxu"),
+     ("fastest", "mxu")],
+)
+def test_fused_layer_numeric_modes_close_to_bitexact(gelu_mode, z_mode):
+    """The parity-gated serving numeric modes — GELU_MODE 'fast' (f32
+    single-rounding) / 'fastest' (A&S 7.1.27 erfc, |err| <= 5e-4) and
+    SOFTMAX_Z_MODE 'mxu' (normalizer from a ones-column of the probs@V
+    matmul) — must stay within a few bf16 ulps of the bitexact chain
     through the full fused pipeline."""
     from huggingface_asr_tpu.ops import pallas_layer
 
     model, params, x, lens = _setup()
     ref = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
     assert pallas_layer.GELU_MODE == "bitexact"  # module default
+    assert pallas_layer.SOFTMAX_Z_MODE == "vpu"  # module default
     try:
-        pallas_layer.GELU_MODE = "fast"
+        pallas_layer.GELU_MODE = gelu_mode
+        pallas_layer.SOFTMAX_Z_MODE = z_mode
         got = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
     finally:
         pallas_layer.GELU_MODE = "bitexact"
+        pallas_layer.SOFTMAX_Z_MODE = "vpu"
     r = np.asarray(ref.logits, np.float32)
     g = np.asarray(got.logits, np.float32)
     valid = np.arange(r.shape[1])[None, :] < np.asarray(got.logit_lengths)[:, None]

@@ -26,7 +26,8 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def decode(work, gelu_mode: str, recip_mode: str, fe_precision: str = "high"):
+def decode(work, gelu_mode: str, recip_mode: str, fe_precision: str = "high",
+           zmode: str = "vpu"):
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -42,6 +43,7 @@ def decode(work, gelu_mode: str, recip_mode: str, fe_precision: str = "high"):
 
     pallas_layer.GELU_MODE = gelu_mode
     pallas_layer.RECIP_MODE = recip_mode
+    pallas_layer.SOFTMAX_Z_MODE = zmode
 
     final = os.path.join(work, "ctc", "final")
     config = load_config(final, EBranchformerConfig)
@@ -80,10 +82,12 @@ def main(argv=None):
     ap.add_argument("--work_dir", default="/tmp/wer_val")
     ap.add_argument(
         "--variants",
-        default="bitexact:newton;fast:newton;fast:approx;"
-                "fast:newton:bf16;bitexact:newton:bf16",
-        help="';'-separated GELU_MODE:RECIP_MODE[:fe_matmul_precision] "
-             "variants (fe precision defaults to 'high', the serving DFT)",
+        default="bitexact:newton;fast:newton;fastest:newton;"
+                "fastest:newton:bf16;fastest:newton:bf16:mxu;"
+                "bitexact:newton:bf16",
+        help="';'-separated GELU_MODE:RECIP_MODE[:fe_matmul_precision"
+             "[:softmax_z_mode]] variants (fe precision defaults to 'high',"
+             " the serving DFT; z mode defaults to 'vpu')",
     )
     args = ap.parse_args(argv)
 
@@ -95,7 +99,8 @@ def main(argv=None):
         parts = v.split(":")
         gelu, recip = parts[0], parts[1]
         fe = parts[2] if len(parts) > 2 else "high"
-        hyps, refs = decode(args.work_dir, gelu, recip, fe)
+        zm = parts[3] if len(parts) > 3 else "vpu"
+        hyps, refs = decode(args.work_dir, gelu, recip, fe, zm)
         w = wer_fn(refs, hyps)
         if base_hyps is None:
             base_hyps = hyps

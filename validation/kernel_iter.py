@@ -38,7 +38,10 @@ def main():
     ap.add_argument("--bb_sweep", default="",
                     help="';'-separated bb variants (overrides --bb)")
     ap.add_argument("--gelu", default="bitexact",
-                    help="';'-separated GELU_MODE variants (bitexact/fast)")
+                    help="';'-separated GELU_MODE variants "
+                         "(bitexact/fast/fastest)")
+    ap.add_argument("--zmode", default="vpu",
+                    help="';'-separated SOFTMAX_Z_MODE variants (vpu/mxu)")
     args = ap.parse_args()
 
     import jax
@@ -81,15 +84,17 @@ def main():
 
     bbs = [int(b) for b in args.bb_sweep.split(";")] if args.bb_sweep else [args.bb]
     variants = [
-        (a, m, bb, g)
+        (a, m, bb, g, z)
         for a in args.ablate.split(";")
         for m in args.attn_out.split(";")
         for bb in bbs
         for g in args.gelu.split(";")
+        for z in args.zmode.split(";")
     ]
-    for ablate, attn_out, bb, gelu in variants:
+    for ablate, attn_out, bb, gelu, zmode in variants:
         pallas_layer.ATTN_OUT_MODE = attn_out
         pallas_layer.GELU_MODE = gelu
+        pallas_layer.SOFTMAX_Z_MODE = zmode
 
         # ALL iterations inside ONE compiled program (lax.scan over the
         # stacked inputs, like bench.py): the ~29 ms axon dispatch RTT is
@@ -113,6 +118,7 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters / args.layers
         print(json.dumps({
             "ablate": ablate, "attn_out": attn_out, "bb": bb, "gelu": gelu,
+            "zmode": zmode,
             "B": B, "T": T, "ms_per_layer": round(dt * 1e3, 3),
         }), flush=True)
 
