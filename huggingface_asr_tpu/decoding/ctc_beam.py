@@ -22,10 +22,13 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1.0e9
-_H1_MULT = jnp.uint32(1000003)
-_H2_MULT = jnp.uint32(2654435761)
+# np (not jnp): a jnp scalar here would run a device op at import time,
+# initializing the backend before the caller can pick a platform.
+_H1_MULT = np.uint32(1000003)
+_H2_MULT = np.uint32(2654435761)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,7 +113,10 @@ class Wav2Vec2ForPreTraining(nn.Module):
         input_lengths: jnp.ndarray,
         mask_time_indices: jnp.ndarray,  # (B, T_enc) bool
         sampled_negative_indices: jnp.ndarray,  # (B, T_enc, N) flat time idx
-        gumbel_temperature: jnp.ndarray = jnp.asarray(2.0),
+        # NOTE: a plain float default — a jnp.asarray default would run a
+        # device op at class-definition (import) time, initializing the
+        # backend before the caller can pick a platform.
+        gumbel_temperature: Any = 2.0,
         deterministic: bool = True,
     ) -> Wav2Vec2SSLOutput:
         cfg = self.config
