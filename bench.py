@@ -98,12 +98,17 @@ def main():
         vocab_size=500,
     )
     model = EBranchformerForCTC(config, dtype=jnp.bfloat16)
-    # Serving front-end config: 3-pass fp32 DFT (~1e-6 relative feature
-    # error) + in-kernel CMVN with bf16 output (the exact cast the fused
-    # subsampler applies to its input anyway). Parity: validation/wer_parity
-    # re-run with this config — fused-path WER delta 0 vs torch reference.
+    # Serving numeric profile (transcript-gated: every mode produced
+    # byte-identical transcripts to the bitexact chain on the trained
+    # WER-parity checkpoint — validation/fused_mode_check.py, results in
+    # validation/fused_mode_report.json): A&S 7.1.27 GELU, MXU softmax
+    # normalizer, single-pass bf16 DFT + in-kernel CMVN with bf16 output
+    # (the exact cast the fused subsampler applies to its input anyway).
+    from huggingface_asr_tpu.ops.pallas_layer import set_numeric_profile
+
+    set_numeric_profile("serving")
     frontend = PallasLogMelFrontEnd(
-        LogMelConfig(matmul_precision="high"), fused_cmvn_bf16=True
+        LogMelConfig(matmul_precision="bf16"), fused_cmvn_bf16=True
     )
 
     B = 128

@@ -428,9 +428,13 @@ def _layer_kernel(*refs, st: LayerStatic):
     sin_n = jnp.concatenate([rot_sin] * bb, axis=0)
     k_std = w["k_std"][...]                          # (T, D) bf16
 
-    # key-column mask from per-batch lengths (VMEM (bb, 1) block)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bb, T, T), 2)
-    kmask = col < w["lens_vec"][...]                   # (bb,1,1) vs (bb,T,T)
+    # key-column mask from per-batch lengths, as an ADDITIVE (bb, 1, T)
+    # vector: `scores + mvec` broadcasts in one VPU pass, vs the (bb, T, T)
+    # iota-compare + select (3 full-size passes) of a boolean mask. Masked
+    # lanes land at ~NEG_INF (ac+bd is O(1e2)), which exp2 underflows to
+    # exactly 0 after the rowmax subtraction — same probs as the select.
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, T), 2)
+    mvec = jnp.where(col1 < w["lens_vec"][...], 0.0, NEG_INF)  # (bb, 1, T)
 
     # Per-head chains are fully independent SSA values. The output
     # projection has two formulations (ATTN_OUT_MODE, trace-time knob):
@@ -473,7 +477,7 @@ def _layer_kernel(*refs, st: LayerStatic):
         # log2(e) is pre-folded into wq/bq_u/bq_v (fold_layer_weights), so
         # softmax runs on exp2 directly — saves the per-element x*log2(e)
         # multiply that exp lowers to on the VPU. exp2(s*log2e) == exp(s).
-        scores = jnp.where(kmask, ac + bd, NEG_INF)
+        scores = ac + bd + mvec
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp2(scores - m)
         if SOFTMAX_Z_MODE == "mxu":

@@ -103,13 +103,21 @@ class ASRPipeline:
                     from huggingface_asr_tpu.ops.pallas_features import (
                         PallasLogMelFrontEnd,
                     )
-                    # Serving config: 3-pass fp32 DFT + in-kernel CMVN/bf16
-                    # (validated: fused-path WER delta 0 vs torch reference,
-                    # validation/wer_parity_report.json).
+                    from huggingface_asr_tpu.ops.pallas_layer import (
+                        set_numeric_profile,
+                    )
+
+                    # Serving numeric profile + single-pass bf16 DFT with
+                    # in-kernel CMVN/bf16. Transcript-gated: byte-identical
+                    # to the bitexact chain (itself 64/64 identical to the
+                    # torch reference) on the trained WER-parity checkpoint
+                    # — validation/fused_mode_check.py, results in
+                    # validation/fused_mode_report.json.
+                    set_numeric_profile("serving")
                     frontend = PallasLogMelFrontEnd(
                         LogMelConfig(
                             num_mel_bins=config.num_fbanks,
-                            matmul_precision="high",
+                            matmul_precision="bf16",
                         ),
                         fused_cmvn_bf16=True,
                     )
