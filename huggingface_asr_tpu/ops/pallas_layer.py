@@ -146,10 +146,21 @@ def _erfc_rational(x):
     ax = jnp.abs(x)
     p = ((((((a6 * ax + a5) * ax + a4) * ax + a3) * ax + a2) * ax + a1) * ax
          + 1.0)
+    # p**16 overflows f32 once p > ~258 (ax ~ 13); inf then poisons the
+    # Newton-refined reciprocal (r*(2 - inf*r) = NaN). Clamp p so the power
+    # chain stays finite: below the clamp every bit is unchanged, above it
+    # the tail 1/250^16 = 4.3e-39 rounds to a bf16 subnormal ~0, which is
+    # where the true erfc (< 1e-74) already is.
+    p = jnp.minimum(p, 250.0)
     p2 = p * p
     p4 = p2 * p2
     p8 = p4 * p4
     inv = _recip(p8 * p8)
+    # True erfc underflows f32 (< 1.4e-45) past ax ~ 10.06 — flush the
+    # rational's polynomially-decaying tail to the exact limit there, like
+    # XLA's erfc does; otherwise gelu(x) = 0.5*x*tail can resurrect a
+    # visible value for extreme |x| (0.5 * 3e38 * 4.3e-39 = 0.64).
+    inv = jnp.where(ax > 10.06, 0.0, inv)
     return jnp.where(x >= 0, inv, 2.0 - inv)
 
 
@@ -208,8 +219,16 @@ def _erfc_rational4(x):
     a1, a2, a3, a4 = 0.278393, 0.230389, 0.000972, 0.078108
     ax = jnp.abs(x)
     p = ((((a4 * ax + a3) * ax + a2) * ax + a1) * ax + 1.0)
+    # Same inf-safety clamp as _erfc_rational: p**4 overflows f32 only at
+    # p > 4.3e9 (ax ~ 485 — absurd but representable in bf16); keep the
+    # Newton reciprocal NaN-free for every finite input.
+    p = jnp.minimum(p, 1.0e9)
     p2 = p * p
     inv = _recip(p2 * p2)
+    # Same f32-underflow flush as _erfc_rational (true erfc < 1.4e-45 past
+    # ax ~ 10.06): this rational's ax**-16 tail decays far too slowly —
+    # without the flush, gelu(-3e38) = 0.5 * 3e38 * 1/p(2.1e38)^4 = -150.
+    inv = jnp.where(ax > 10.06, 0.0, inv)
     return jnp.where(x >= 0, inv, 2.0 - inv)
 
 

@@ -172,3 +172,49 @@ def test_fused_layer_t_not_multiple_of_8():
     valid = np.arange(r.shape[1])[None, :] < np.asarray(got.logit_lengths)[:, None]
     diff = np.abs(g - r)[valid]
     assert diff.max() <= 0.05 * max(np.abs(r[valid]).max(), 1.0), diff.max()
+
+
+@pytest.mark.parametrize("gelu_mode", ["bitexact", "fast", "fastest"])
+@pytest.mark.parametrize("recip_mode", ["newton", "approx", "off"])
+def test_gelu_finite_over_full_bf16_range(gelu_mode, recip_mode):
+    """Regression: the A&S erfc rational's p**16 overflows f32 at |x| ~ 18.4
+    and the Newton-refined reciprocal turned that inf into NaN
+    (r*(2 - inf*r)), which poisoned every bitexact/fast fused decode on
+    checkpoints whose GELU pre-activations exceed that (caught by
+    validation/fused_mode_check.py on the WER-parity checkpoint). Every
+    (GELU_MODE, RECIP_MODE) pair must be finite and limit-correct across
+    the representable bf16 range."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from huggingface_asr_tpu.ops import pallas_layer
+
+    xs = jnp.asarray(
+        [-3e38, -1000.0, -100.0, -30.0, -18.5, -18.0, -5.0, -1.0, 0.0,
+         1.0, 5.0, 18.0, 18.5, 30.0, 100.0, 1000.0, 3e38] + [0.0] * 111,
+        jnp.bfloat16,
+    ).reshape(1, 128)
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = pallas_layer.gelu_bf16(x_ref[...])
+
+    try:
+        pallas_layer.GELU_MODE = gelu_mode
+        pallas_layer.RECIP_MODE = recip_mode
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(xs.shape, jnp.bfloat16),
+            interpret=True,
+        )(xs)
+    finally:
+        pallas_layer.GELU_MODE = "bitexact"
+        pallas_layer.RECIP_MODE = "newton"
+    g = np.asarray(out, np.float32)[0, :17]
+    assert np.isfinite(g).all(), (gelu_mode, recip_mode, g)
+    # Limits: gelu(x) -> x for large positive x, -> 0 for large negative x.
+    x_np = np.asarray(xs, np.float32)[0, :17]
+    big_pos = x_np >= 30.0
+    np.testing.assert_array_equal(g[big_pos], x_np[big_pos])
+    big_neg = x_np <= -30.0
+    # arg = -x*sqrt(1/2) > 10.06 there -> erfc tail flushed to exact 0.
+    assert (g[big_neg] == 0.0).all(), g[big_neg]
