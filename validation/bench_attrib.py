@@ -37,6 +37,11 @@ def main():
                          "(lax.scan over stacked batches, like bench.py) so "
                          "the ~29 ms tunnel RTT is paid once, not per iter — "
                          "deltas are then pure device time")
+    ap.add_argument("--serving", action="store_true",
+                    help="use bench.py's serving numeric profile (A&S GELU, "
+                         "MXU softmax normalizer, bf16 single-pass DFT + "
+                         "in-kernel CMVN) so stage deltas attribute the "
+                         "OFFICIAL bench number, not the bitexact chain")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +66,15 @@ def main():
     )
     B, sec = args.batch, args.seconds
     S = int(16000 * sec)
-    frontend = PallasLogMelFrontEnd(LogMelConfig())
+    if args.serving:
+        from huggingface_asr_tpu.ops.pallas_layer import set_numeric_profile
+
+        set_numeric_profile("serving")
+        frontend = PallasLogMelFrontEnd(
+            LogMelConfig(matmul_precision="bf16"), fused_cmvn_bf16=True
+        )
+    else:
+        frontend = PallasLogMelFrontEnd(LogMelConfig())
     rows, hop = frontend.rows_alloc(S), 160
     rng = np.random.default_rng(0)
     batches = []
