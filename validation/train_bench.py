@@ -1,0 +1,149 @@
+"""Training-step throughput bench on the real chip: bench-size CTC model.
+
+Measures sustained train-step time (fwd + bwd + optimizer + anomaly guard,
+bf16 compute / f32 params — the reference's ``--bf16`` AMP semantics,
+recipes_v0.0.1/decred/commonvoice/train_DeCRED_small.sh:119) for the
+base-size E-Branchformer CTC model on B x 10 s utterances, and derives
+audio-sec/sec and model FLOPs utilization from the compiled step's XLA cost
+analysis. K steps run inside ONE dispatch (lax.scan) to amortize the ~29 ms
+axon tunnel RTT, same methodology as bench.py.
+
+  python validation/train_bench.py --batch 64 --steps 12
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--steps", type=int, default=12, help="scan steps per dispatch")
+    ap.add_argument("--label-len", type=int, default=40)
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--layers", type=int, default=12,
+                    help="override layer count (CPU smoke tests)")
+    ap.add_argument("--hidden", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from huggingface_asr_tpu.models.configs import EBranchformerConfig
+    from huggingface_asr_tpu.models.ebranchformer import EBranchformerForCTC
+    from huggingface_asr_tpu.ops.spec_augment import SpecAugmentConfig
+    from huggingface_asr_tpu.parallel.mesh import MeshConfig, make_mesh
+    from huggingface_asr_tpu.training.loop import CTCTrainer, TrainerConfig
+    from huggingface_asr_tpu.training.optim import OptimizerConfig
+
+    config = EBranchformerConfig(
+        hidden_size=args.hidden, num_hidden_layers=args.layers,
+        num_attention_heads=8, intermediate_size=4 * args.hidden,
+        conv_dim=(args.hidden, args.hidden), conv_kernel=(3, 3),
+        conv_stride=(2, 2), conv_padding=(1, 1), vocab_size=500,
+    )
+    n_dev = jax.device_count()
+    mesh = make_mesh(MeshConfig(data=n_dev))
+    trainer = CTCTrainer(
+        EBranchformerForCTC(
+            config, dtype=jnp.float32 if args.fp32 else jnp.bfloat16
+        ),
+        TrainerConfig(
+            optimizer=OptimizerConfig(
+                learning_rate=2e-3, warmup_steps=1000, total_steps=100000
+            ),
+            spec_augment=SpecAugmentConfig(apply_time_warp=False),
+        ),
+        mesh=mesh,
+    )
+
+    B, sec = args.batch, args.seconds
+    T = int(sec * 100) - 2  # 10 ms mel frames, CustomFE length convention
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_features": jnp.asarray(
+            rng.standard_normal((B, T, 80)).astype(np.float32)
+        ),
+        "input_lengths": jnp.full((B,), T, jnp.int32),
+        "labels": jnp.asarray(
+            rng.integers(1, config.vocab_size, (B, args.label_len)), jnp.int32
+        ),
+        "label_lengths": jnp.full((B,), args.label_len, jnp.int32),
+    }
+    state = trainer.init_state(batch)
+
+    # K steps in one compiled program: replicate BaseTrainer's train_step
+    # body (loss_and_metrics + apply_gradients_guarded — the same pure
+    # functions the product step jits) inside a lax.scan.
+    def one_step(state, _):
+        step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+        aug_rng, dropout_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            return trainer.loss_and_metrics(
+                params, batch, aug_rng, dropout_rng, state.step
+            )
+
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state, gnorm, _ok = state.apply_gradients_guarded(
+            grads=grads,
+            max_grad_norm_guard=trainer.config.max_grad_norm_guard,
+        )
+        return new_state, (loss, gnorm)
+
+    @jax.jit
+    def run(state):
+        return jax.lax.scan(one_step, state, None, length=args.steps)
+
+    lowered = run.lower(state)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    flops_total = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state2, (losses, _) = run(state)
+    jax.block_until_ready(losses)  # warmup + compile
+
+    t0 = time.perf_counter()
+    state3, (losses, _) = run(state2)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+
+    step_s = dt / args.steps
+    audio_rtfx = B * sec / step_s
+    flops_per_step = flops_total / args.steps
+    # v5e bf16 peak 197 TF/s (XLA cost analysis counts bf16 matmul FLOPs)
+    mfu = flops_per_step / step_s / 197e12
+    print(json.dumps({
+        "metric": "ebranchformer_ctc_train_step",
+        "batch": B,
+        "devices": n_dev,
+        "step_ms": round(step_s * 1e3, 2),
+        "train_rtfx": round(audio_rtfx, 1),
+        "examples_per_sec": round(B / step_s, 1),
+        "flops_per_step": flops_per_step,
+        "mfu_vs_197tf": round(mfu, 4),
+        "losses_finite": bool(np.isfinite(np.asarray(losses)).all()),
+    }))
+
+
+if __name__ == "__main__":
+    main()
