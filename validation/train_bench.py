@@ -36,9 +36,16 @@ def main():
     ap.add_argument("--layers", type=int, default=12,
                     help="override layer count (CPU smoke tests)")
     ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (env vars are unreliable "
+                         "under the axon sitecustomize — jax.config must be "
+                         "set before any device query)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update(
