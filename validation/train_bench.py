@@ -137,8 +137,14 @@ def main():
     step_s = dt / args.steps
     audio_rtfx = B * sec / step_s
     flops_per_step = flops_total / args.steps
-    # v5e bf16 peak 197 TF/s (XLA cost analysis counts bf16 matmul FLOPs)
-    mfu = flops_per_step / step_s / 197e12
+    # Analytic model FLOPs: 2.033 GF per audio-second forward (XLA cost
+    # analysis of the inference graph, BASELINE.md) x 3 for fwd+bwd — the
+    # standard backward ~= 2x forward rule. The axon client's cost_analysis
+    # on the training graph under-reports (~11x below analytic), so MFU is
+    # derived from the analytic number; the raw cost-analysis figure is
+    # still printed for reference.
+    flops_analytic = 3.0 * 2.033e9 * B * sec
+    mfu = flops_analytic / step_s / 197e12
     print(json.dumps({
         "metric": "ebranchformer_ctc_train_step",
         "batch": B,
@@ -146,8 +152,8 @@ def main():
         "step_ms": round(step_s * 1e3, 2),
         "train_rtfx": round(audio_rtfx, 1),
         "examples_per_sec": round(B / step_s, 1),
-        "flops_per_step": flops_per_step,
-        "mfu_vs_197tf": round(mfu, 4),
+        "flops_per_step_cost_analysis": flops_per_step,
+        "mfu_analytic_vs_197tf": round(mfu, 4),
         "losses_finite": bool(np.isfinite(np.asarray(losses)).all()),
     }))
 
