@@ -51,11 +51,20 @@ def _anchors() -> tuple:
     return float(d["a100_rtfx_roofline"]), float(d["a100_rtfx_anchor"])
 
 
-def _host_feed_rtfx(B: int, seconds: float, iters: int = 4) -> float:
+def _host_feed_rtfx(B: int, seconds: float, iters: int = 4) -> dict:
     """Sustained host input-pipeline rate for the bench workload: raw audio
     examples → C++-collated padded batch (data/native_collate.py), the work
     the host must do per batch to feed the chips. Backs the 8-chip pod
-    extrapolation with a measured number (audio-sec/sec)."""
+    extrapolation with measured numbers (audio-sec/sec).
+
+    This box exposes ONE core, so the measured rate IS the per-core rate;
+    `collate_f32` distributes rows over threads (native/collate.cpp:27-47),
+    so on a real pod host the feed scales with collate cores until the
+    memcpy hits memory bandwidth. Both the per-core rate and the core count
+    a v5e-8 pod needs at that rate are reported; the full feed budget is
+    documented in BASELINE.md ("Pod input-feed budget")."""
+    import os as _os
+
     from huggingface_asr_tpu.data.collator import CollatorConfig, SpeechCollator
 
     S = int(16000 * seconds)
@@ -70,7 +79,9 @@ def _host_feed_rtfx(B: int, seconds: float, iters: int = 4) -> float:
     for _ in range(iters):
         collator(examples)
     dt = (time.perf_counter() - t0) / iters
-    return B * seconds / dt
+    rate = B * seconds / dt
+    cores = _os.cpu_count() or 1
+    return {"rtfx": rate, "cores": cores, "per_core_rtfx": rate / max(cores, 1)}
 
 
 def main():
@@ -189,7 +200,13 @@ def main():
                 "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy; 84 batches per dispatch over 28 distinct device-resident inputs to amortize the ~29 ms tunnel RTT); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
                 "vs_baseline": round(rtfx * 8 / roofline, 3),
                 "vs_peak_hypothetical": round(rtfx * 8 / peak_hypo, 3),
-                "host_feed_rtfx": round(feed, 1),
+                "host_feed_rtfx": round(feed["rtfx"], 1),
+                "host_cores": feed["cores"],
+                # collate threads scale ~linearly until memcpy saturates
+                # host memory bandwidth (BASELINE.md "Pod input-feed budget")
+                "pod_feed_cores_needed": int(
+                    np.ceil(8 * rtfx / max(feed["per_core_rtfx"], 1.0))
+                ),
             }
         )
     )

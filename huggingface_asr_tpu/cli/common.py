@@ -69,6 +69,30 @@ def tokenizer_ids(tokenizer) -> Dict[str, int]:
     }
 
 
+def load_fusion_lm(gen_args):
+    """Load the external shallow-fusion LM named by ``--lm_model``.
+
+    Mirrors the reference's end-to-end LM wiring (reference:
+    src/trainers/train_enc_dec_asr.py:61-77 builds GenerationConfigCustom
+    with lm_model/lm_weight; src/decoding/shallow_fussion.py:5-53 applies
+    it). Here the LM is a checkpoint dir produced by ``cli/train_clm.py``
+    (config.json + params); returns (lm_config, lm_params) for
+    ``generate_joint``, or (None, None) when fusion is disabled.
+    """
+    if not getattr(gen_args, "lm_model", None) or gen_args.lm_weight == 0.0:
+        return None, None
+    from huggingface_asr_tpu.models.gpt2_decoder import GPT2DecoderConfig
+    from huggingface_asr_tpu.training.model_factory import load_config, load_params
+
+    lm_config = load_config(gen_args.lm_model, GPT2DecoderConfig)
+    lm_params = load_params(gen_args.lm_model)
+    logger.info(
+        "shallow-fusion LM loaded from %s (weight %.3f)",
+        gen_args.lm_model, gen_args.lm_weight,
+    )
+    return lm_config, lm_params
+
+
 def dataset_lengths(dataset, length_column: str) -> np.ndarray:
     if length_column in dataset.column_names:
         return np.asarray(dataset[length_column], dtype=np.float64)

@@ -18,6 +18,7 @@ import numpy as np
 
 from huggingface_asr_tpu.cli.common import (
     eval_batches,
+    load_fusion_lm,
     load_tokenizer,
     setup_logging,
     split_references,
@@ -105,8 +106,12 @@ def main(argv=None):
                 batch_size=max(eval_args.batch_size // gen_args.eval_beam_factor, 1),
             )
 
+        lm_config, lm_params = load_fusion_lm(gen_args)
         decode_jit = jax.jit(
-            lambda feats, lens: generate_joint(model, params, feats, lens, gen_cfg)
+            lambda feats, lens: generate_joint(
+                model, params, feats, lens, gen_cfg,
+                lm_config=lm_config, lm_params=lm_params,
+            )
         )
         frontend_fn = jax.jit(frontend.__call__)
         nbest_store = []

@@ -19,6 +19,7 @@ import numpy as np
 from huggingface_asr_tpu.cli.common import (
     epoch_iterator,
     eval_batches,
+    load_fusion_lm,
     load_tokenizer,
     setup_logging,
     split_references,
@@ -344,8 +345,12 @@ def main(argv=None):
         )
         eval_bs = max(eval_bs // gen_args.eval_beam_factor, 1)
 
+    lm_config, lm_params = load_fusion_lm(gen_args)
     decode = jax.jit(
-        lambda p, feats, lens: generate_joint(model, p, feats, lens, gen_cfg)
+        lambda p, feats, lens: generate_joint(
+            model, p, feats, lens, gen_cfg,
+            lm_config=lm_config, lm_params=lm_params,
+        )
     )
     frontend_fn = jax.jit(frontend.__call__)
 

@@ -39,6 +39,15 @@ class CLMArguments:
     head_locations: tuple = ()
     head_weights: tuple = (1.0,)
     skip_if_exists: bool = True
+    # Arbitrary raw text files (reference train_clm.py accepts
+    # train_file/validation_file txt/json/csv, :267-334). One utterance per
+    # line; when set, these REPLACE the dataset-config text source.
+    train_text_file: str = ""
+    validation_text_file: str = ""
+    # Initialize from an external HF GPT-2 checkpoint (reference trains any
+    # HF causal LM; we convert GPT-2-family state dicts into our decoder).
+    from_hf_gpt2: str = ""
+    eval_every_blocks: int = 0  # 0 = eval only at end
 
 
 class CLMTrainer(BaseTrainer):
@@ -101,6 +110,37 @@ def packed_text_batches(
                     batch_rows = []
 
 
+def packed_eval_batches(
+    texts: List[str], tokenizer, block_size: int, batch_size: int, bos: int,
+) -> List[Dict[str, np.ndarray]]:
+    """Single-pass packing for perplexity eval: every full block is yielded
+    exactly once; the final partial batch is padded with mask=False rows."""
+    buf: List[int] = []
+    rows: List[List[int]] = []
+    for text in texts:
+        ids = tokenizer.encode(text)
+        if hasattr(ids, "ids"):
+            ids = ids.ids
+        buf.extend(ids)
+        while len(buf) >= block_size:
+            rows.append(buf[:block_size])
+            buf = buf[block_size:]
+    batches = []
+    for i in range(0, len(rows), batch_size):
+        chunk_rows = rows[i : i + batch_size]
+        n_real = len(chunk_rows)
+        while len(chunk_rows) < batch_size:
+            chunk_rows.append([bos] * block_size)
+        chunk = np.asarray(chunk_rows, dtype=np.int32)
+        inputs = np.concatenate(
+            [np.full((batch_size, 1), bos, np.int32), chunk[:, :-1]], axis=1
+        )
+        mask = np.zeros((batch_size, block_size), dtype=bool)
+        mask[:n_real] = True
+        batches.append({"input_ids": inputs, "labels": chunk, "label_mask": mask})
+    return batches
+
+
 def main(argv=None):
     parser = DataclassArgumentParser(
         [ModelArguments, GeneralTrainingArguments, CLMArguments, DataConfig]
@@ -113,41 +153,128 @@ def main(argv=None):
         logger.info("model already exists at %s, skipping (skip_if_exists)", final_dir)
         return
 
-    dataset = get_dataset(dataclasses.replace(data_cfg, audio_column_name=None))
     tokenizer = load_tokenizer(model_args.tokenizer_name)
     ids = tokenizer_ids(tokenizer)
 
-    config = GPT2DecoderConfig(
-        vocab_size=ids["vocab_size"],
-        n_positions=clm_args.block_size + 1,
-        n_embd=clm_args.n_embd,
-        n_layer=clm_args.n_layer,
-        n_head=clm_args.n_head,
-        head_locations=tuple(clm_args.head_locations),
-        head_weights=tuple(clm_args.head_weights),
-        add_cross_attention=False,
-        bos_token_id=ids["bos"],
-        eos_token_id=ids["eos"],
-        pad_token_id=ids["pad"],
-        pos_emb_fixed=model_args.decoder_pos_emb_fixed,
-    )
+    # Text sources: raw files override the dataset config (reference
+    # train_clm.py accepts train_file/validation_file, :267-334).
+    eval_texts: List[str] = []
+    if clm_args.train_text_file:
+        with open(clm_args.train_text_file) as f:
+            texts = [ln.strip() for ln in f if ln.strip()]
+        if clm_args.validation_text_file:
+            with open(clm_args.validation_text_file) as f:
+                eval_texts = [ln.strip() for ln in f if ln.strip()]
+    else:
+        dataset = get_dataset(dataclasses.replace(data_cfg, audio_column_name=None))
+        texts = list(dataset[data_cfg.train_split][data_cfg.text_column_name])
+        if data_cfg.validation_split in dataset:
+            eval_texts = list(
+                dataset[data_cfg.validation_split][data_cfg.text_column_name]
+            )
+
+    if clm_args.from_hf_gpt2:
+        # Initialize from an external HF GPT-2 checkpoint — makes any
+        # GPT-2-family hub LM usable for fusion/DeCRED init.
+        import torch
+        from transformers import GPT2Config, GPT2LMHeadModel
+
+        from huggingface_asr_tpu.interop.hf_decred import (
+            convert_gpt2_decoder_state_dict,
+        )
+
+        hf_cfg = GPT2Config.from_pretrained(clm_args.from_hf_gpt2)
+        config = GPT2DecoderConfig(
+            vocab_size=hf_cfg.vocab_size,
+            n_positions=hf_cfg.n_positions,
+            n_embd=hf_cfg.n_embd,
+            n_layer=hf_cfg.n_layer,
+            n_head=hf_cfg.n_head,
+            add_cross_attention=False,
+            bos_token_id=ids["bos"],
+            eos_token_id=ids["eos"],
+            pad_token_id=ids["pad"],
+        )
+        hf_model = GPT2LMHeadModel.from_pretrained(clm_args.from_hf_gpt2)
+        init_params = convert_gpt2_decoder_state_dict(
+            {k: v.numpy() for k, v in hf_model.state_dict().items()}, config
+        )
+        del hf_model
+    else:
+        init_params = None
+        config = GPT2DecoderConfig(
+            vocab_size=ids["vocab_size"],
+            n_positions=clm_args.block_size + 1,
+            n_embd=clm_args.n_embd,
+            n_layer=clm_args.n_layer,
+            n_head=clm_args.n_head,
+            head_locations=tuple(clm_args.head_locations),
+            head_weights=tuple(clm_args.head_weights),
+            add_cross_attention=False,
+            bos_token_id=ids["bos"],
+            eos_token_id=ids["eos"],
+            pad_token_id=ids["pad"],
+            pos_emb_fixed=model_args.decoder_pos_emb_fixed,
+        )
     model = GPT2MultiHeadDecoder(config)
     trainer = CLMTrainer(model, build_trainer_config(training))
 
-    texts = list(dataset[data_cfg.train_split][data_cfg.text_column_name])
     batches = packed_text_batches(
         texts, tokenizer, clm_args.block_size,
         training.per_device_train_batch_size, ids["bos"], training.seed,
     )
     example = next(batches)
-    state = trainer.init_state(example)
+    state = (
+        trainer.make_state(init_params)
+        if init_params is not None
+        else trainer.init_state(example)
+    )
+    # Resume semantics (reference train_clm.py:321-334 get_last_checkpoint):
+    # --restart_from resumes explicitly; otherwise auto-resume from the
+    # output dir's latest checkpoint if one exists.
     if training.restart_from:
         state = trainer.restore_checkpoint(state, None)
+    elif trainer.config.checkpoint_dir and os.path.isdir(trainer.config.checkpoint_dir):
+        latest = trainer.checkpoint_manager.latest_step()
+        if latest is not None:
+            logger.info("auto-resuming from checkpoint step %d", latest)
+            state = trainer.restore_checkpoint(state, latest)
+
+    def eval_fn(state):
+        """Held-out perplexity over the validation text (reference
+        run_clm-style eval, train_clm.py:636-651): one pass over all
+        validation blocks, token-weighted mean NLL -> perplexity."""
+        ev = packed_eval_batches(
+            eval_texts, tokenizer, clm_args.block_size,
+            training.per_device_eval_batch_size, ids["bos"],
+        )
+        if clm_args.eval_every_blocks:
+            ev = ev[: clm_args.eval_every_blocks]
+        loss_sum = tok_sum = 0.0
+        for batch in ev:
+            out = jax.device_get(trainer.eval_step(state.params, batch))
+            n_tok = float(batch["label_mask"].sum())
+            loss_sum += float(out["loss"]) * n_tok
+            tok_sum += n_tok
+        if tok_sum == 0:
+            return {}
+        mean_loss = loss_sum / tok_sum
+        return {"loss": mean_loss, "perplexity": float(np.exp(min(mean_loss, 20.0)))}
 
     metrics_logger = MetricsLogger(training.output_dir, use_wandb=training.report_to_wandb)
-    state = trainer.fit(state, batches, hooks=[metrics_logger.log])
+    state = trainer.fit(
+        state, batches, eval_fn=eval_fn if eval_texts else None,
+        hooks=[metrics_logger.log],
+    )
     trainer.save_checkpoint(state)
     save_params(jax.device_get(state.params), final_dir, config)
+    if eval_texts:
+        final_eval = eval_fn(state)
+        logger.info("final eval: %s", final_eval)
+        with open(os.path.join(training.output_dir, "clm_eval.json"), "w") as f:
+            import json
+
+            json.dump(final_eval, f)
     metrics_logger.close()
 
 

@@ -195,10 +195,16 @@ def iter_audio_folder_vad(
     sampling_rate: int = 16000,
     use_pyannote: bool = False,
     max_segment_s: float = 30.0,
+    vad_fn=None,
 ) -> Iterator[Dict]:
-    """Walk a folder of wavs, VAD-segment, yield speech chunks with lengths."""
-    vad_fn = None
-    if use_pyannote:
+    """Walk a folder of wavs, VAD-segment, yield speech chunks with lengths.
+
+    ``vad_fn(audio) -> [(start_s, end_s), ...]`` plugs in any external
+    segmenter (e.g. a pyannote pipeline where installed); ``use_pyannote``
+    tries the stock pyannote VAD with graceful fallback to energy VAD
+    (reference: audio_folder_vad.py:39-61 requires pyannote
+    unconditionally)."""
+    if vad_fn is None and use_pyannote:
         try:
             from pyannote.audio import Pipeline  # noqa: F401
 
@@ -234,9 +240,10 @@ def iter_audio_folder_vad(
 
 
 def build_audio_folder_vad_dataset(folder: str, sampling_rate: int = 16000,
-                                   use_pyannote: bool = False):
+                                   use_pyannote: bool = False, vad_fn=None):
     from datasets import Dataset
 
     return Dataset.from_generator(
-        lambda: iter_audio_folder_vad(folder, sampling_rate, use_pyannote)
+        lambda: iter_audio_folder_vad(folder, sampling_rate, use_pyannote,
+                                      vad_fn=vad_fn)
     )

@@ -42,6 +42,30 @@ class BestRQOutput:
     last_hidden_state: jnp.ndarray
 
 
+def _init_projection(cfg: EBranchformerConfig) -> jnp.ndarray:
+    return _xavier_uniform(
+        jax.random.key(0),
+        (cfg.best_rq_num_books, cfg.best_rq_in_dim, cfg.best_rq_codebook_dim),
+    )
+
+
+def _init_codebook(cfg: EBranchformerConfig) -> jnp.ndarray:
+    return _l2_normalize(
+        jax.random.normal(
+            jax.random.key(1),
+            (cfg.best_rq_num_books, cfg.best_rq_codebook_size,
+             cfg.best_rq_codebook_dim),
+        )
+    )
+
+
+def make_bestrq_buffers(config: EBranchformerConfig):
+    """Build the frozen RPQ buffers deterministically from the config —
+    usable by trainers to (re)create buffers without a full model init
+    (checkpoint restore into a fresh trainer)."""
+    return {"rpq": {"P": _init_projection(config), "CB": _init_codebook(config)}}
+
+
 class RandomProjectionQuantizer(nn.Module):
     """Frozen projection P and codebook CB (reference bestrq.py:66-80)."""
 
@@ -50,23 +74,8 @@ class RandomProjectionQuantizer(nn.Module):
     @nn.compact
     def __call__(self, stacked_features: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        P = self.variable(
-            "buffers", "P",
-            lambda: _xavier_uniform(
-                jax.random.key(0),
-                (cfg.best_rq_num_books, cfg.best_rq_in_dim, cfg.best_rq_codebook_dim),
-            ),
-        ).value
-        CB = self.variable(
-            "buffers", "CB",
-            lambda: _l2_normalize(
-                jax.random.normal(
-                    jax.random.key(1),
-                    (cfg.best_rq_num_books, cfg.best_rq_codebook_size,
-                     cfg.best_rq_codebook_dim),
-                )
-            ),
-        ).value
+        P = self.variable("buffers", "P", lambda: _init_projection(cfg)).value
+        CB = self.variable("buffers", "CB", lambda: _init_codebook(cfg)).value
         # (B, books, T, dim), L2-normalized like torch F.normalize
         proj = jnp.einsum("btf,kfd->bktd", stacked_features.astype(jnp.float32), P)
         proj = _l2_normalize(proj)

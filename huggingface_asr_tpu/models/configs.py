@@ -44,12 +44,14 @@ class EBranchformerConfig:
     # (inference path; relative positions, non-causal).
     attention_impl: str = "xla"
     # Relative-position term evaluation: "gather" contracts a (T,T,H,dh)
-    # gathered table (best backward on v5e); "shift" is one big
-    # (B*T*H,dh)x(dh,2T-1) MXU matmul + Transformer-XL shift (bitwise-equal
-    # scores, measured faster for batched inference); "factored" is the exact
+    # gathered table; "shift" is one big (B*T*H,dh)x(dh,2T-1) MXU matmul +
+    # Transformer-XL shift (bitwise-equal scores); "factored" is the exact
     # sinusoid-addition factorization (rotate the pos-projected query by -w*t,
     # contract against the ascending table) — pure MXU, no gather/shift.
-    relpos_impl: str = "gather"  # gather | shift | factored
+    # Default "factored": measured fastest for BOTH the fwd path and the
+    # train step (gather costs +31 ms/step at B=64x10 s on v5e — the gathered
+    # (T,T,H,dh) table is the difference; validation/train_attrib.py r4).
+    relpos_impl: str = "factored"  # gather | shift | factored
     # Rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades ~30% step FLOPs for O(layers) activation memory — the lever for
     # scaling batch size / sequence length.

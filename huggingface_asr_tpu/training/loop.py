@@ -210,7 +210,19 @@ class BaseTrainer:
 
     def eval_step(self, params, batch):
         if self._eval_step is None:
-            self._eval_step = jax.jit(self.eval_outputs)
+            # Shard the eval batch over the data axis like the train step
+            # (otherwise a pod would run eval replicated on one device's
+            # worth of work per host). Falls back to an unsharded jit when
+            # the eval batch does not divide the mesh.
+            n_data = self.mesh.shape["data"]
+            bs = next(iter(batch.values())).shape[0]
+            if bs % n_data == 0:
+                self._eval_step = jax.jit(
+                    self.eval_outputs,
+                    in_shardings=(None, self.batch_shardings(batch)),
+                )
+            else:
+                self._eval_step = jax.jit(self.eval_outputs)
         return self._eval_step(params, batch)
 
     # ------------------------------------------------------------------ loop
@@ -459,7 +471,54 @@ class JointTrainer(BaseTrainer):
 
 class BestRQTrainer(BaseTrainer):
     """BEST-RQ pretraining: loss ÷ masked count + SSL stats
-    (reference SSLTrainer, training_utils.py:207-283)."""
+    (reference SSLTrainer, training_utils.py:207-283).
+
+    The frozen RPQ projection/codebook live in ``self.buffers``; they are
+    deterministic from the config, created lazily on first use (so a fresh
+    trainer can restore a checkpoint without calling ``init_params``) and
+    saved/restored with checkpoints for explicitness."""
+
+    @property
+    def buffers(self):
+        if getattr(self, "_buffers", None) is None:
+            from huggingface_asr_tpu.models.bestrq import make_bestrq_buffers
+
+            self._buffers = make_bestrq_buffers(self.model.config)
+        return self._buffers
+
+    @buffers.setter
+    def buffers(self, value):
+        self._buffers = value
+
+    def save_checkpoint(self, state):
+        import orbax.checkpoint as ocp
+
+        self.checkpoint_manager.save(
+            int(state.step),
+            args=ocp.args.StandardSave({
+                "params": state.params, "opt_state": state.opt_state,
+                "step": state.step, "buffers": jax.device_get(self.buffers),
+            }),
+        )
+        self.checkpoint_manager.wait_until_finished()
+
+    def restore_checkpoint(self, state, step=None):
+        import orbax.checkpoint as ocp
+
+        mgr = self.checkpoint_manager
+        step = step if step is not None else mgr.latest_step()
+        restored = mgr.restore(
+            step,
+            args=ocp.args.StandardRestore({
+                "params": state.params, "opt_state": state.opt_state,
+                "step": state.step, "buffers": jax.device_get(self.buffers),
+            }),
+        )
+        self.buffers = restored["buffers"]
+        return state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
 
     def _init_args(self, batch):
         feats, lengths = (
@@ -478,7 +537,7 @@ class BestRQTrainer(BaseTrainer):
         variables = self.model.init(
             {"params": rng, "mask_noise": jax.random.key(1)}, *args, **kwargs
         )
-        self.buffers = variables.get("buffers", {})
+        self.buffers = variables.get("buffers", {}) or None
         return variables["params"]
 
     def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):

@@ -84,6 +84,25 @@ def test_audio_folder_vad(tmp_path):
     assert examples[0]["input_len"] > 0.2
 
 
+def test_audio_folder_vad_custom_segmenter(tmp_path):
+    """An external segmenter callable (e.g. a pyannote pipeline) plugs in
+    via vad_fn and fully replaces the energy VAD."""
+    from huggingface_asr_tpu.data.builders import iter_audio_folder_vad
+
+    sr = 16000
+    _write_wav(str(tmp_path / "x.wav"), np.zeros(sr * 2, np.float32))
+    calls = []
+
+    def segmenter(audio):
+        calls.append(len(audio))
+        return [(0.25, 0.75), (1.0, 1.5)]
+
+    examples = list(iter_audio_folder_vad(str(tmp_path), vad_fn=segmenter))
+    assert calls == [sr * 2]
+    assert len(examples) == 2
+    assert abs(examples[0]["input_len"] - 0.5) < 1e-6
+
+
 def test_decoder_mixing_modes():
     from huggingface_asr_tpu.models.gpt2_decoder import (
         GPT2DecoderConfig,

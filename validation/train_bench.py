@@ -33,6 +33,17 @@ def main():
     ap.add_argument("--steps", type=int, default=12, help="scan steps per dispatch")
     ap.add_argument("--label-len", type=int, default=40)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--no-time-warp", action="store_true",
+                    help="disable SpecAugment time warp (default ON — the "
+                         "trainer default and the reference's ESPnet SpecAug "
+                         "both apply it; measurements with it off are lighter "
+                         "than the product step and labeled as such)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed dispatches; min is reported (bench.py style)")
+    ap.add_argument("--relpos", default=None,
+                    help="attention relpos_impl override (gather|shift|factored)")
+    ap.add_argument("--remat", action="store_true",
+                    help="enable per-layer gradient checkpointing")
     ap.add_argument("--layers", type=int, default=12,
                     help="override layer count (CPU smoke tests)")
     ap.add_argument("--hidden", type=int, default=256)
@@ -60,11 +71,15 @@ def main():
     from huggingface_asr_tpu.training.loop import CTCTrainer, TrainerConfig
     from huggingface_asr_tpu.training.optim import OptimizerConfig
 
+    extra = {}
+    if args.relpos:
+        extra["relpos_impl"] = args.relpos
     config = EBranchformerConfig(
         hidden_size=args.hidden, num_hidden_layers=args.layers,
         num_attention_heads=8, intermediate_size=4 * args.hidden,
         conv_dim=(args.hidden, args.hidden), conv_kernel=(3, 3),
         conv_stride=(2, 2), conv_padding=(1, 1), vocab_size=500,
+        remat=args.remat, **extra,
     )
     n_dev = jax.device_count()
     mesh = make_mesh(MeshConfig(data=n_dev))
@@ -76,7 +91,9 @@ def main():
             optimizer=OptimizerConfig(
                 learning_rate=2e-3, warmup_steps=1000, total_steps=100000
             ),
-            spec_augment=SpecAugmentConfig(apply_time_warp=False),
+            spec_augment=SpecAugmentConfig(
+                apply_time_warp=not args.no_time_warp
+            ),
         ),
         mesh=mesh,
     )
@@ -129,10 +146,13 @@ def main():
     state2, (losses, _) = run(state)
     jax.block_until_ready(losses)  # warmup + compile
 
-    t0 = time.perf_counter()
-    state3, (losses, _) = run(state2)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        state2, (losses, _) = run(state2)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     step_s = dt / args.steps
     audio_rtfx = B * sec / step_s
@@ -142,20 +162,37 @@ def main():
     # standard backward ~= 2x forward rule. The axon client's cost_analysis
     # on the training graph under-reports (~11x below analytic), so MFU is
     # derived from the analytic number; the raw cost-analysis figure is
-    # still printed for reference.
+    # still printed for reference. All per-chip numbers divide the global
+    # batch by the device count; peak is bf16 197 TF (v5e) or 98.5 TF fp32.
     flops_analytic = 3.0 * 2.033e9 * B * sec
-    mfu = flops_analytic / step_s / 197e12
-    print(json.dumps({
+    peak_flops = 98.5e12 if args.fp32 else 197e12
+    mfu = flops_analytic / n_dev / step_s / peak_flops
+    result = {
         "metric": "ebranchformer_ctc_train_step",
         "batch": B,
         "devices": n_dev,
         "step_ms": round(step_s * 1e3, 2),
-        "train_rtfx": round(audio_rtfx, 1),
+        "train_rtfx_per_chip": round(audio_rtfx / n_dev, 1),
         "examples_per_sec": round(B / step_s, 1),
         "flops_per_step_cost_analysis": flops_per_step,
-        "mfu_analytic_vs_197tf": round(mfu, 4),
+        "mfu_analytic": round(mfu, 4),
+        "time_warp": not args.no_time_warp,
         "losses_finite": bool(np.isfinite(np.asarray(losses)).all()),
-    }))
+    }
+    # vs_train_baseline: 8-chip pod rate over the reference's measured
+    # train-step A100 op-stream roofline anchor (validation/roofline_train.py
+    # -> validation/train_baseline.json), same convention as bench.py.
+    anchor_path = os.path.join(REPO, "validation", "train_baseline.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        a100_rtfx = anchor.get("a100_train_rtfx")
+        if a100_rtfx:
+            result["a100_train_anchor_rtfx"] = a100_rtfx
+            result["vs_train_baseline"] = round(
+                8.0 * (audio_rtfx / n_dev) / a100_rtfx, 3
+            )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
