@@ -86,8 +86,15 @@ def generate_joint(
     config: BeamSearchConfig,
     lm_config: Optional[GPT2DecoderConfig] = None,
     lm_params=None,
+    fused_encoder="auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encoder once → beam-expand → compiled joint beam search.
+
+    ``fused_encoder``: "auto" (default) runs the encoder as the fused Pallas
+    mega-kernel path (models/fast_infer.py) when on TPU and the encoder
+    config/dtype qualify (~2.3x the XLA encoder — README perf table); True
+    forces it (raises if unsupported); False keeps the XLA encoder. The
+    decode loop itself is unchanged either way.
 
     Returns (sequences (B, W, L), scores (B, W)).
     """
@@ -95,9 +102,36 @@ def generate_joint(
     B = input_features.shape[0]
     W = config.num_beams
 
-    enc, cross_hidden = model.apply(
-        {"params": params}, input_features, input_lengths, method=model.encode
-    )
+    from huggingface_asr_tpu.models.fast_infer import ctc_infer_fused, fused_encoder_ok
+
+    ok = fused_encoder_ok(cfg.encoder, model.dtype)
+    use_fused = fused_encoder
+    if use_fused == "auto":
+        use_fused = jax.default_backend() == "tpu" and ok
+    elif use_fused and not ok:
+        raise ValueError(
+            "fused_encoder=True but the encoder config/dtype is outside the "
+            "fused kernel's support (needs relative positions, non-causal, "
+            "macaron FF, bfloat16, no fine-tune adapters)"
+        )
+
+    if use_fused:
+        bb = max(d for d in (8, 4, 2, 1) if B % d == 0)
+        enc, cross_hidden = ctc_infer_fused(
+            params["encoder"], cfg.encoder, input_features, input_lengths,
+            bb=bb, return_hidden=True,
+        )
+        if "enc_to_dec_proj" in params:
+            proj = params["enc_to_dec_proj"]
+            cross_hidden = (
+                cross_hidden.astype(model.dtype)
+                @ jnp.asarray(proj["kernel"], model.dtype)
+                + jnp.asarray(proj["bias"], model.dtype)
+            )
+    else:
+        enc, cross_hidden = model.apply(
+            {"params": params}, input_features, input_lengths, method=model.encode
+        )
     ctc_log_probs = jax.nn.log_softmax(enc.logits.astype(jnp.float32), axis=-1)
 
     hidden_exp = _expand_beams(cross_hidden, W)

@@ -42,7 +42,13 @@ class EBranchformerConfig:
     attention_softmax_fp32: bool = True
     # "xla" | "pallas": pallas = fused VMEM-resident rel-pos attention kernel
     # (inference path; relative positions, non-causal).
-    attention_impl: str = "xla"
+    # "auto": XLA attention everywhere EXCEPT training steps on TPU, which
+    # use the fused custom-VJP Pallas kernel (ops/pallas_train_attention.py
+    # — measured 132.7 -> 118.4 ms on the B=64x10 s train step). "pallas"
+    # forces both the training kernel and the inference kernel
+    # (ops/pallas_attention.py); "xla" disables both. Inference stays XLA
+    # under "auto" so decode-parity paths keep their exact op order.
+    attention_impl: str = "auto"  # auto | xla | pallas
     # Relative-position term evaluation: "gather" contracts a (T,T,H,dh)
     # gathered table; "shift" is one big (B*T*H,dh)x(dh,2T-1) MXU matmul +
     # Transformer-XL shift (bitwise-equal scores); "factored" is the exact

@@ -258,6 +258,21 @@ class EBranchformerSelfAttention(nn.Module):
             q_u = q + bias_u.astype(self.dtype)
             q_v = q + bias_v.astype(self.dtype)
 
+            # Fused Pallas attention core for INFERENCE (shift-form table
+            # kernel — identical math to the relpos_impl strategies).
+            if (
+                cfg.attention_impl == "pallas"
+                and deterministic
+                and not cfg.is_causal
+                and lengths is not None
+                and pos_emb is not None
+            ):
+                from huggingface_asr_tpu.ops.pallas_attention import rel_attention
+
+                pos = linear_pos(pos_emb).reshape(-1, H, dh)
+                out = rel_attention(q_u, q_v, k, v, pos, lengths).reshape(B, T, D)
+                return nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_out")(out)
+
             if cfg.relpos_impl == "factored":
                 # EXACT sinusoid-addition factorization of the Transformer-XL
                 # positional term — no gather, no (2T-1) materialization, no
@@ -291,24 +306,46 @@ class EBranchformerSelfAttention(nn.Module):
                     [r_sin * qo - r_cos * qe, r_sin * qe + r_cos * qo], axis=-1
                 )  # (B, T, H, D): [rotated-sin | rotated-cos] halves
                 k_std = jnp.concatenate([sin_t, cos_t], axis=-1)  # (T, D)
+
+                # TRAINING Pallas path: flash-style custom-VJP kernel over
+                # the factored scores — softmax/dropout/PV with the
+                # (B, H, T, T) tensors VMEM-resident in fwd AND bwd, dropout
+                # regenerated in-kernel from a per-step seed (the XLA
+                # attention branch measured ~100 ms of the 240 ms B=64x10 s
+                # step; validation/train_attrib.py r4).
+                use_train_kernel = cfg.attention_impl == "pallas" or (
+                    cfg.attention_impl == "auto"
+                    and jax.default_backend() == "tpu"
+                )
+                if (
+                    use_train_kernel
+                    and not deterministic
+                    and not cfg.is_causal
+                    and lengths is not None
+                ):
+                    from huggingface_asr_tpu.ops.pallas_train_attention import (
+                        rel_attention_train,
+                    )
+
+                    seed = jax.random.bits(
+                        self.make_rng("dropout"), (), jnp.uint32
+                    ).astype(jnp.int32)
+                    out = rel_attention_train(
+                        q_u, q_rot.astype(self.dtype), k, v, k_std, lengths,
+                        seed, float(cfg.attention_dropout),
+                    ).reshape(B, T, D)
+                    # in-kernel dropout already applied to the probs
+                    return nn.Dense(
+                        D, dtype=self.dtype, kernel_init=_winit(cfg),
+                        name="linear_out",
+                    )(out)
+
                 scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
                 scores_bd = jnp.einsum("bthD,sD->bhts", q_rot, k_std)
                 scores = (scores_ac + scores_bd) / jnp.sqrt(dh).astype(self.dtype)
             else:
                 pos = linear_pos(pos_emb)
                 pos = pos.reshape(-1, H, dh)  # (2T-1, H, dh)
-
-                use_pallas = (
-                    cfg.attention_impl == "pallas"
-                    and deterministic
-                    and not cfg.is_causal
-                    and lengths is not None
-                )
-                if use_pallas:
-                    from huggingface_asr_tpu.ops.pallas_attention import rel_attention
-
-                    out = rel_attention(q_u, q_v, k, v, pos, lengths).reshape(B, T, D)
-                    return nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="linear_out")(out)
 
                 scores_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
                 if cfg.relpos_impl == "shift":

@@ -45,6 +45,23 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def fused_encoder_ok(cfg: EBranchformerConfig, dtype) -> bool:
+    """Static capability gate for the fused encoder (single source of truth
+    for serving/pipeline.py and decoding/generate.py)."""
+    from huggingface_asr_tpu.ops.pallas_layer import ACT_F32
+
+    return (
+        cfg.position_embeddings_type == "relative"
+        and not cfg.is_causal
+        and not cfg.finetune_with_layer_mixing
+        and not cfg.finetune_with_additional_layer
+        and cfg.use_macaron_ff
+        and cfg.hidden_act in ACT_F32
+        and cfg.csgu_activation in ACT_F32
+        and dtype == jnp.bfloat16
+    )
+
+
 def ctc_infer_fused(
     params: Dict[str, Any],
     cfg: EBranchformerConfig,
@@ -54,6 +71,7 @@ def ctc_infer_fused(
     bb: int = 4,
     interpret: bool = False,
     ablate: str = "",
+    return_hidden: bool = False,
 ) -> CTCOutput:
     if cfg.position_embeddings_type != "relative" or cfg.is_causal:
         raise ValueError("fused path supports non-causal relative-position models")
@@ -136,4 +154,9 @@ def ctc_infer_fused(
         preferred_element_type=jnp.float32,
     ) + jnp.asarray(params["blank_projection"]["bias"], jnp.float32)
     logits = jnp.concatenate([vocab, blank], axis=-1).astype(dtype)
-    return CTCOutput(logits=logits, logit_lengths=out_lengths, loss=None)
+    out = CTCOutput(logits=logits, logit_lengths=out_lengths, loss=None)
+    if return_hidden:
+        # post-final-LN hidden states — what the joint model's encode()
+        # exposes for cross-attention (models/joint_ctc_aed.py:104)
+        return out, x
+    return out

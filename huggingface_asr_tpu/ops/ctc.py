@@ -31,7 +31,7 @@ def ctc_loss(
     blank_id: int = -1,
     reduction: str = "mean",
     logits_are_log_probs: bool = False,
-    unroll: int = 8,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Batched CTC loss.
 
@@ -69,9 +69,17 @@ def ctc_loss(
     skip_ok = skip_ok.at[:, 1::2].set(differs)
     skip_ok = skip_ok & is_label[None, :] & (s_idx[None, :] >= 2)
 
-    # Per-frame log-probs of the extended symbols: (T, B, S)
-    lp_ext = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, S)), axis=2
+    # Per-frame log-probs of the extended symbols: (T, B, S). Computed as an
+    # EXACT one-hot contraction instead of take_along_axis: the gather's
+    # backward is a (B, T, S) -> (B, T, V) scatter-add, which XLA lowers
+    # serially on TPU (measured ~30 ms of the B=64x10 s train step,
+    # validation/train_attrib.py r4); the one-hot form is an MXU matmul in
+    # BOTH directions. Each row sums exactly one nonzero (1.0 * lp), so the
+    # result equals the gather up to the matmul's fp32 accumulation mode.
+    onehot = jax.nn.one_hot(ext, V, dtype=log_probs.dtype)  # (B, S, V)
+    lp_ext = jax.lax.dot_general(
+        log_probs, onehot, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     ).transpose(1, 0, 2)
 
     neg_inf = jnp.float32(LOG_EPSILON)
@@ -94,10 +102,15 @@ def ctc_loss(
         active = (t < logit_lengths)[:, None]
         return jnp.where(active, new, alpha), None
 
-    # unroll: the per-frame body is tiny ((B, S) vector work); unrolling
-    # amortizes the TPU loop-iteration overhead (~12% of the whole train
-    # step at B=64x10 s when unroll=1, validation/train_attrib.py r4).
-    alpha, _ = jax.lax.scan(step, alpha0, (time_idx, lp_ext[1:]), unroll=unroll)
+    # unroll: kept as an experiment knob; measured NO train-step gain at
+    # unroll=8 on v5e (the 30 ms CTC cost is the gather backward + scan
+    # dependency, not loop overhead — validation/train_attrib.py r4), and
+    # eager CPU calls with unroll > scan length hit an XLA CPU compile
+    # pathology — so the default stays 1.
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (time_idx, lp_ext[1:]),
+        unroll=max(1, min(unroll, T - 1)),
+    )
 
     # Final prob = alpha[2*label_len] (+) alpha[2*label_len - 1]
     last_blank = jnp.take_along_axis(alpha, (2 * label_lengths)[:, None], axis=1)[:, 0]

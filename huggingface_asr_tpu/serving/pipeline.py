@@ -67,18 +67,9 @@ class ASRPipeline:
             # on TPU; "auto" uses it when the model/backend/dtype qualify.
             # The kernel computes in bf16 and folds macaron-FF weights, so
             # fp32 or non-macaron configs take the XLA path.
-            from huggingface_asr_tpu.ops.pallas_layer import ACT_F32
+            from huggingface_asr_tpu.models.fast_infer import fused_encoder_ok
 
-            fused_ok = (
-                config.position_embeddings_type == "relative"
-                and not config.is_causal
-                and not config.finetune_with_layer_mixing
-                and not config.finetune_with_additional_layer
-                and config.use_macaron_ff
-                and config.hidden_act in ACT_F32
-                and config.csgu_activation in ACT_F32
-                and dt == jnp.bfloat16
-            )
+            fused_ok = fused_encoder_ok(config, dt)
             use_fused = fused_encoder
             fused_interpret = use_fused == "interpret"  # test-only: CPU interpreter
             if fused_interpret:

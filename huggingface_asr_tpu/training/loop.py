@@ -70,6 +70,13 @@ class TrainerConfig:
     profile_steps: int = 0
     profile_start: int = 10
     profile_dir: str = "/tmp/jax_trace"
+    # PRNG implementation for the per-step dropout/augment streams.
+    # "rbg" (XLA's hardware RNG) — threefry mask generation measured at
+    # 67 ms of the 240 ms B=64x10s train step (validation/train_attrib.py
+    # r4: the (B,H,T,T) attention-probs bernoulli per layer dominates);
+    # rbg generates the same-shaped masks at a fraction of the VPU cost.
+    # Param INIT stays threefry (init quality/reproducibility, one-time).
+    rng_impl: str = "rbg"
 
 
 class BaseTrainer:
@@ -122,7 +129,9 @@ class BaseTrainer:
         return self.make_state(params)
 
     def make_state(self, params) -> AsrTrainState:
-        _, dropout_rng = jax.random.split(jax.random.key(self.config.seed))
+        _, dropout_rng = jax.random.split(
+            jax.random.key(self.config.seed, impl=self.config.rng_impl)
+        )
         state = AsrTrainState.create_with_guards(
             apply_fn=self.model.apply, params=params, tx=self.tx, dropout_rng=dropout_rng
         )

@@ -86,12 +86,14 @@ def main():
     # A100 roofline anchor for the reference's joint beam decode op stream
     # (validation/roofline_joint.py; beams=5/ctc 0.3): vs_baseline for the
     # b5 variants = 8-chip pod rate / anchor, same convention as bench.py.
-    anchor = None
+    anchors = {}
     try:
         with open(os.path.join(
             REPO, "validation", "baseline_measurement.json"
         )) as f:
-            anchor = json.load(f).get("a100_joint_rtfx_roofline")
+            base = json.load(f)
+        anchors[(5, 0.3)] = base.get("a100_joint_rtfx_roofline")
+        anchors[(60, 0.0)] = base.get("a100_joint_rtfx_roofline_beams60_ctc0")
     except OSError:
         pass
 
@@ -115,9 +117,10 @@ def main():
             "variant": name, "ms": round(dt * 1e3, 1),
             "rtfx": round(B * sec / dt, 1),
         }
-        if anchor and kw["num_beams"] == 5:
+        anchor = anchors.get((kw["num_beams"], kw["ctc_weight"]))
+        if anchor:
             rec["vs_baseline"] = round(B * sec / dt * 8 / anchor, 2)
-            rec["baseline"] = f"a100_joint_rtfx_roofline={anchor}"
+            rec["baseline"] = f"a100_joint_roofline={anchor}"
         print(json.dumps(rec), flush=True)
 
 

@@ -256,8 +256,15 @@ def main():
         path = os.path.join(REPO, "validation", "baseline_measurement.json")
         with open(path) as f:
             base = json.load(f)
-        base["a100_joint_rtfx_roofline"] = report["a100_joint_rtfx_roofline"]
-        base["a100_joint_roofline_detail"] = {
+        # beams=5/ctc0.3 is the released decode config (primary key);
+        # other configs (e.g. the LibriSpeech best-decode beams=60/ctc0 —
+        # baseline_150e_beam_decode.sh:70-72) get config-suffixed keys.
+        suffix = (
+            "" if (args.num_beams == 5 and args.ctc_weight == 0.3)
+            else f"_beams{args.num_beams}_ctc{args.ctc_weight:g}"
+        )
+        base["a100_joint_rtfx_roofline" + suffix] = report["a100_joint_rtfx_roofline"]
+        base["a100_joint_roofline_detail" + suffix] = {
             k: v for k, v in report.items()
             if k != "a100_joint_rtfx_roofline"
         }

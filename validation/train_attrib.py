@@ -98,7 +98,9 @@ def build(mode, args):
     from huggingface_asr_tpu.training.loop import CTCTrainer, TrainerConfig
     from huggingface_asr_tpu.training.optim import OptimizerConfig
 
-    relpos = "factored" if mode == "relpos_factored" else args.relpos
+    relpos = {"relpos_factored": "factored", "relpos_gather": "gather"}.get(
+        mode, args.relpos
+    )
     extra = {}
     if mode == "no_dropout":
         extra.update(hidden_dropout=0.0, attention_dropout=0.0,
@@ -106,6 +108,8 @@ def build(mode, args):
                      csgu_conv_dropout=0.0)
     if mode == "remat":
         extra.update(remat=True)
+    if mode == "pallas_attn":
+        extra.update(attention_impl="pallas")
     config = EBranchformerConfig(
         hidden_size=args.hidden, num_hidden_layers=args.layers,
         num_attention_heads=8, intermediate_size=4 * args.hidden,
@@ -196,7 +200,9 @@ def main():
     ap.add_argument("--label-len", type=int, default=40)
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--relpos", default="gather")
+    ap.add_argument("--relpos", default="factored",
+                    help="attention relpos_impl for all modes except "
+                         "relpos_gather/relpos_factored overrides")
     ap.add_argument("--time-warp", action="store_true")
     ap.add_argument("--rng-impl", default=None,
                     help="jax_default_prng_impl override (e.g. rbg)")
