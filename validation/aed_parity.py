@@ -119,6 +119,31 @@ def _load(work):
     return load_config(final, JointCTCAttentionConfig), load_params(final)
 
 
+def train_lm(work, ds_dir, tok_dir, steps=300):
+    """Train the external fusion LM through the REAL CLI (cli/train_clm.py)
+    on the same corpus text/tokenizer; returns its checkpoint dir."""
+    from huggingface_asr_tpu.cli.train_clm import main as clm_main
+
+    out = os.path.join(work, "lm")
+    clm_main([
+        "--dataset_name", ds_dir, "--load_from_disk", "--no-do_resample",
+        "--tokenizer_name", tok_dir, "--output_dir", out,
+        "--block_size", str(MAX_LEN), "--n_embd", "64", "--n_layer", "2",
+        "--n_head", "2", "--per_device_train_batch_size", "16",
+        "--max_steps", str(steps), "--logging_steps", "100",
+        "--save_steps", str(steps), "--warmup_steps", "20",
+        "--dtype", "float32",
+    ])
+    return os.path.join(out, "final")
+
+
+def _load_lm(lm_dir):
+    from huggingface_asr_tpu.models.gpt2_decoder import GPT2DecoderConfig
+    from huggingface_asr_tpu.training.model_factory import load_config, load_params
+
+    return load_config(lm_dir, GPT2DecoderConfig), load_params(lm_dir)
+
+
 def _test_batch(ds_dir, noise_std: float = 0.0):
     """Held-out eval batch. ``noise_std`` adds DETERMINISTIC Gaussian noise
     (seed 1234) to the waveforms so the decode is discriminative (WER > 0):
@@ -145,7 +170,8 @@ def _test_batch(ds_dir, noise_std: float = 0.0):
     return batchw, lens, refs
 
 
-def ours_decode(work, ds_dir, tok_dir, noise_std=0.0):
+def ours_decode(work, ds_dir, tok_dir, noise_std=0.0, lm_dir=None,
+                lm_weight=0.0):
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -164,15 +190,20 @@ def ours_decode(work, ds_dir, tok_dir, noise_std=0.0):
 
     batchw, lens, refs = _test_batch(ds_dir, noise_std)
     feats, flens = frontend(jnp.asarray(batchw), jnp.asarray(lens))
+    lm_config = lm_params = None
+    if lm_dir and lm_weight:
+        lm_config, lm_params = _load_lm(lm_dir)
     cfg = BeamSearchConfig(
         num_beams=NUM_BEAMS, max_length=MAX_LEN, ctc_weight=CTC_WEIGHT,
+        lm_weight=lm_weight,
         # K-1 = V: score EVERY token through the CTC prefix scorer, like
         # the reference rescorer (no candidate preselection in generate()).
         num_candidates=41, bos_token_id=ids["bos"], eos_token_id=ids["eos"],
         pad_token_id=ids["pad"],
     )
     t0 = time.perf_counter()
-    seqs, scores = generate_joint(model, params, feats, flens, cfg)
+    seqs, scores = generate_joint(model, params, feats, flens, cfg,
+                                  lm_config=lm_config, lm_params=lm_params)
     seqs = np.asarray(seqs)
     dt = time.perf_counter() - t0
     hyps = [
@@ -182,7 +213,8 @@ def ours_decode(work, ds_dir, tok_dir, noise_std=0.0):
     return hyps, refs, dt, float(np.sum(lens) / 16000.0)
 
 
-def reference_decode(work, ds_dir, tok_dir, noise_std=0.0):
+def reference_decode(work, ds_dir, tok_dir, noise_std=0.0, lm_dir=None,
+                     lm_weight=0.0):
     import torch
 
     from validation.ref_compat import (
@@ -292,6 +324,60 @@ def reference_decode(work, ds_dir, tok_dir, noise_std=0.0):
         early_stopping=False, length_penalty=1.0, do_sample=False,
     )
 
+    if lm_dir and lm_weight:
+        # External LM through the reference's OWN shallow-fusion processor
+        # (shallow_fussion.py:5-53, appended by _get_logits_processor
+        # :398-404). The LM is exported to a V+1-wide torch GPT-2 with a
+        # phantom last row like the decoder; masking that column's logit
+        # before the processor's log_softmax makes the LM distribution the
+        # true V-way one (the decoder side gets the same treatment via
+        # _PhantomColRenorm).
+        from huggingface_asr_tpu.interop.export_hf import export_gpt2_decoder
+
+        lm_cfg_j, lm_params_j = _load_lm(lm_dir)
+        hf_lm_cfg = GPT2MultiHeadConfig(
+            vocab_size=lm_cfg_j.vocab_size + 1,
+            n_positions=lm_cfg_j.n_positions,
+            n_embd=lm_cfg_j.n_embd, n_layer=lm_cfg_j.n_layer,
+            n_head=lm_cfg_j.n_head, n_inner=lm_cfg_j.n_inner,
+            add_cross_attention=False, head_locations=[], head_weights=[1.0],
+            lsm_factor=0.0, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+            tie_word_embeddings=False, attn_implementation="eager",
+            bos_token_id=ids["bos"], eos_token_id=ids["eos"],
+            pad_token_id=ids["pad"],
+        )
+        lm_sd = export_gpt2_decoder(lm_params_j, lm_cfg_j)
+        for key in ("transformer.wte.weight", "lm_head.weight"):
+            wv = np.asarray(lm_sd[key])
+            lm_sd[key] = np.concatenate(
+                [wv, np.zeros((1, wv.shape[1]), wv.dtype)], 0
+            )
+        hf_lm = GPT2LMMultiHeadModel(hf_lm_cfg)
+        missing_lm, unexpected_lm = hf_lm.load_state_dict(
+            {k: torch.tensor(np.asarray(v)) for k, v in lm_sd.items()},
+            strict=False,
+        )
+        assert not [m for m in missing_lm if "attn.bias" not in m], missing_lm
+        hf_lm.eval()
+
+        class _PhantomMaskedLM(torch.nn.Module):
+            def __init__(self, lm):
+                super().__init__()
+                self.lm = lm
+                self.config = lm.config
+
+            def to(self, *a, **kw):
+                self.lm = self.lm.to(*a, **kw)
+                return self
+
+            def forward(self, input_ids, **kw):
+                out = self.lm(input_ids)
+                out.logits[:, :, blank] = -1e10
+                return out
+
+        gen_cfg.lm_weight = float(lm_weight)
+        gen_cfg.lm_model = _PhantomMaskedLM(hf_lm)
+
     # the reference's _get_logits_processor reads self.generation_config
     # (HF Seq2SeqTrainer assigns it there); replicate that wiring
     ref.generation_config = gen_cfg
@@ -340,6 +426,11 @@ def main(argv=None):
     ap.add_argument("--size", default="tiny", choices=sorted(SIZES),
                     help="model scale: tiny (fast) or base (released "
                          "DeCRED-base shape, 256x12 enc / 256x6 dec)")
+    ap.add_argument("--lm_weight", type=float, default=0.0,
+                    help="external-LM shallow fusion weight: > 0 trains a "
+                         "small LM via cli/train_clm and decodes BOTH stacks "
+                         "with fusion (ours: compiled KV-cached lm_step; "
+                         "reference: LMRescorerLogitsProcessor)")
     args = ap.parse_args(argv)
 
     global ENC_CFG, DEC_CFG
@@ -356,10 +447,16 @@ def main(argv=None):
     if not (args.skip_train and os.path.exists(os.path.join(args.work_dir, "aed", "final"))):
         train(args.work_dir, ds_dir, tok_dir, args.steps, args.batch)
 
+    lm_dir = None
+    if args.lm_weight > 0.0:
+        lm_dir = train_lm(args.work_dir, ds_dir, tok_dir)
+
     our_hyps, refs, our_sec, audio_sec = ours_decode(
-        args.work_dir, ds_dir, tok_dir, args.eval_noise)
+        args.work_dir, ds_dir, tok_dir, args.eval_noise,
+        lm_dir=lm_dir, lm_weight=args.lm_weight)
     ref_hyps, ref_sec = reference_decode(
-        args.work_dir, ds_dir, tok_dir, args.eval_noise)
+        args.work_dir, ds_dir, tok_dir, args.eval_noise,
+        lm_dir=lm_dir, lm_weight=args.lm_weight)
 
     from huggingface_asr_tpu.utils.metrics import wer as wer_fn
 
@@ -400,6 +497,9 @@ def main(argv=None):
     key = "joint_beam" if args.eval_noise == 0.0 else "joint_beam_noisy"
     if args.size != "tiny":
         key += f"_{args.size}"
+    if args.lm_weight > 0.0:
+        key += "_lm"
+        report["lm_weight"] = args.lm_weight
     report["model_size"] = args.size
     merged[key] = report
     with open(repo_report, "w") as f:
