@@ -52,20 +52,32 @@ def _keep_mask(seed_scalar, h, b, H, T, rate, interpret=False):
     integer hash (xorshift-multiply rounds over a 2-D iota) stands in —
     same determinism contract, different stream."""
     thresh = np.uint32(int(rate * float(2**32)))
+    # Mix the (seed, block) pair through integer hash rounds so SEQUENTIAL
+    # block ids / per-layer seeds land on well-separated PRNG streams —
+    # counter-based generators can emit correlated streams for adjacent
+    # seeds, and correlated dropout across heads/batch/layers biases
+    # training.
+    mixed = (jnp.asarray(seed_scalar).astype(jnp.uint32)
+             ^ (jnp.asarray(b * H + h).astype(jnp.uint32)
+                * np.uint32(0x9E3779B9)))
+    for _ in range(2):
+        mixed = mixed * np.uint32(0x85EBCA6B)
+        mixed = mixed ^ (mixed >> 13)
+        mixed = mixed * np.uint32(0xC2B2AE35)
+        mixed = mixed ^ (mixed >> 16)
     if interpret:
-        base = (jnp.asarray(seed_scalar) + b * H + h).astype(jnp.uint32)
         ctr = (
             jax.lax.broadcasted_iota(jnp.uint32, (T, T), 0) * np.uint32(T)
             + jax.lax.broadcasted_iota(jnp.uint32, (T, T), 1)
         )
-        x = ctr ^ (base * np.uint32(0x9E3779B9))
+        x = ctr ^ (mixed * np.uint32(0x9E3779B9))
         for _ in range(3):
             x = x * np.uint32(0x85EBCA6B)
             x = x ^ (x >> 13)
             x = x * np.uint32(0xC2B2AE35)
             x = x ^ (x >> 16)
         return x >= thresh
-    pltpu.prng_seed(seed_scalar + b * H + h)
+    pltpu.prng_seed(mixed.astype(jnp.int32))
     bits = pltpu.prng_random_bits((T, T))
     return pltpu.bitcast(bits, jnp.uint32) >= thresh
 

@@ -44,11 +44,19 @@ def average_checkpoints(checkpoint_dir: str, last_n: Optional[int] = None):
 
 
 def save_params(params, path: str, config=None):
-    """Save a standalone inference checkpoint (params + config JSON)."""
+    """Save a standalone inference checkpoint (params + config JSON).
+
+    Overwrites an existing checkpoint at the same path (re-running a CLI
+    into the same --output_dir is routine; orbax refuses by default)."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
+    target = os.path.join(os.path.abspath(path), "params")
+    if os.path.exists(target):
+        shutil.rmtree(target)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(os.path.abspath(path), "params"), params)
+    ckptr.save(target, params)
     ckptr.wait_until_finished()
     if config is not None:
         with open(os.path.join(path, "config.json"), "w") as f:

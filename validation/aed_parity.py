@@ -426,6 +426,9 @@ def main(argv=None):
     ap.add_argument("--size", default="tiny", choices=sorted(SIZES),
                     help="model scale: tiny (fast) or base (released "
                          "DeCRED-base shape, 256x12 enc / 256x6 dec)")
+    ap.add_argument("--attention_impl", default=None,
+                    help="override encoder attention_impl for the TRAINING "
+                         "run (control experiments: xla vs auto/pallas)")
     ap.add_argument("--lm_weight", type=float, default=0.0,
                     help="external-LM shallow fusion weight: > 0 trains a "
                          "small LM via cli/train_clm and decodes BOTH stacks "
@@ -435,6 +438,8 @@ def main(argv=None):
 
     global ENC_CFG, DEC_CFG
     ENC_CFG, DEC_CFG = SIZES[args.size]
+    if args.attention_impl:
+        ENC_CFG = {**ENC_CFG, "attention_impl": args.attention_impl}
 
     os.makedirs(args.work_dir, exist_ok=True)
     # Decode parity needs true-fp32 matmuls on TPU (default fp32 precision
