@@ -192,24 +192,52 @@ def main():
     rtfx = audio_seconds / dt
     feed = _host_feed_rtfx(B, seconds)
     roofline, peak_hypo = _anchors()
-    print(
-        json.dumps(
-            {
-                "metric": "ebranchformer_ctc_infer_rtfx",
-                "value": round(rtfx, 1),
-                "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy; 84 batches per dispatch over 28 distinct device-resident inputs to amortize the ~29 ms tunnel RTT); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
-                "vs_baseline": round(rtfx * 8 / roofline, 3),
-                "vs_peak_hypothetical": round(rtfx * 8 / peak_hypo, 3),
-                "host_feed_rtfx": round(feed["rtfx"], 1),
-                "host_cores": feed["cores"],
-                # collate threads scale ~linearly until memcpy saturates
-                # host memory bandwidth (BASELINE.md "Pod input-feed budget")
-                "pod_feed_cores_needed": int(
-                    np.ceil(8 * rtfx / max(feed["per_core_rtfx"], 1.0))
-                ),
-            }
+    result = {
+        "metric": "ebranchformer_ctc_infer_rtfx",
+        "value": round(rtfx, 1),
+        "unit": "audio-sec/sec/chip (B=128, 10s utts, mel+fused-encoder+greedy; 84 batches per dispatch over 28 distinct device-resident inputs to amortize the ~29 ms tunnel RTT); vs_baseline = 8-chip pod rate / A100 op-stream roofline anchor (model-derived; see BASELINE.md)",
+        "vs_baseline": round(rtfx * 8 / roofline, 3),
+        "vs_peak_hypothetical": round(rtfx * 8 / peak_hypo, 3),
+        "host_feed_rtfx": round(feed["rtfx"], 1),
+        "host_cores": feed["cores"],
+        # collate threads scale ~linearly until memcpy saturates
+        # host memory bandwidth (BASELINE.md "Pod input-feed budget")
+        "pod_feed_cores_needed": int(
+            np.ceil(8 * rtfx / max(feed["per_core_rtfx"], 1.0))
+        ),
+    }
+    result.update(_train_metrics())
+    print(json.dumps(result))
+
+
+def _train_metrics() -> dict:
+    """Official train-step numbers alongside inference (VERDICT r4 #5a):
+    run validation/train_bench.py in a SUBPROCESS (its numeric profile must
+    stay 'train' — this process switched the serving profile on) and merge
+    its step time / RTFx / MFU / vs_train_baseline into the bench line.
+    Uses the same persistent compile cache, so warm runs cost seconds."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "validation", "train_bench.py"),
+             "--batch", "64", "--steps", "12", "--repeats", "3"],
+            capture_output=True, text=True, timeout=3600,
         )
-    )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        d = json.loads(line)
+        out = {
+            "train_step_ms": d["step_ms"],
+            "train_rtfx": d["train_rtfx_per_chip"],
+            "train_mfu_analytic": d["mfu_analytic"],
+            "train_batch": d["batch"],
+        }
+        if "vs_train_baseline" in d:
+            out["vs_train_baseline"] = d["vs_train_baseline"]
+        return out
+    except Exception as e:  # never let the train leg kill the headline line
+        return {"train_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 if __name__ == "__main__":

@@ -49,7 +49,11 @@ logger = logging.getLogger(__name__)
 class EvalArguments:
     output_dir: str = "eval_output"
     batch_size: int = 32
-    model_type: str = "ctc"  # ctc | aed
+    model_type: str = "ctc"  # ctc | aed | whisper_ctc | llm_asr
+    # "auto": serving Pallas encoder when on TPU and the config/dtype
+    # qualify; "on": require it; "off": force the XLA encoder (exact
+    # decode-parity op order). Mirrors generate_joint's fused_encoder gate.
+    fused_encoder: str = "auto"  # auto | on | off
 
 
 def main(argv=None):
@@ -70,10 +74,91 @@ def main(argv=None):
         model = EBranchformerForCTC(config, dtype=dtype)
         frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.num_fbanks))
 
+        from huggingface_asr_tpu.models.fast_infer import (
+            ctc_infer_fused,
+            fused_encoder_ok,
+        )
+
+        ok = fused_encoder_ok(config, dtype) and jax.default_backend() == "tpu"
+        if eval_args.fused_encoder == "on" and not ok:
+            raise ValueError(
+                "--fused_encoder on, but the encoder config/dtype/backend is "
+                "outside the fused kernel's support (needs TPU, relative "
+                "positions, non-causal, macaron FF, bfloat16, no adapters)"
+            )
+        use_fused = eval_args.fused_encoder != "off" and ok
+        if use_fused:
+            logger.info("CTC decode through the fused serving encoder")
+
+            @jax.jit
+            def decode_fn(feats, lens):
+                bb = max(d for d in (8, 4, 2, 1) if feats.shape[0] % d == 0)
+                out = ctc_infer_fused(params, config, feats, lens, bb=bb)
+                return ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+
+        else:
+
+            @jax.jit
+            def decode_fn(feats, lens):
+                out = model.apply({"params": params}, feats, lens, deterministic=True)
+                return ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+
+        frontend_fn = jax.jit(frontend.__call__)
+
+        def decode_batch(batch):
+            feats, lens = frontend_fn(batch["input_values"], batch["input_values_lengths"])
+            toks, tlens = jax.device_get(decode_fn(feats, lens))
+            return [
+                tokenizer.decode(t, skip_special_tokens=True)
+                for t in tokens_to_lists(toks, tlens)
+            ], None
+
+    elif eval_args.model_type == "whisper_ctc":
+        from huggingface_asr_tpu.models.whisper_ctc import (
+            WhisperCTCConfig,
+            WhisperEncoderForCTC,
+        )
+
+        config = load_config(model_args.from_pretrained, WhisperCTCConfig)
+        params = load_params(model_args.from_pretrained)
+        model = WhisperEncoderForCTC(config, dtype=dtype)
+        frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.num_mel_bins))
+
         @jax.jit
         def decode_fn(feats, lens):
             out = model.apply({"params": params}, feats, lens, deterministic=True)
-            return ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+            return ctc_greedy_decode(
+                out.logits, out.logit_lengths, blank_id=config.blank_token_id
+            )
+
+        frontend_fn = jax.jit(frontend.__call__)
+
+        def decode_batch(batch):
+            feats, lens = frontend_fn(batch["input_values"], batch["input_values_lengths"])
+            toks, tlens = jax.device_get(decode_fn(feats, lens))
+            return [
+                tokenizer.decode(t, skip_special_tokens=True)
+                for t in tokens_to_lists(toks, tlens)
+            ], None
+
+    elif eval_args.model_type == "llm_asr":
+        from huggingface_asr_tpu.models.llm_asr import (
+            LLMASRConfig,
+            LLMASRModel,
+            llm_asr_greedy_decode,
+        )
+
+        config = load_config(model_args.from_pretrained, LLMASRConfig)
+        params = load_params(model_args.from_pretrained)
+        model = LLMASRModel(config, dtype=dtype)
+        frontend = LogMelFrontEnd(
+            LogMelConfig(num_mel_bins=config.encoder.num_mel_bins)
+        )
+        max_len = gen_args.max_length
+
+        @jax.jit
+        def decode_fn(feats, lens):
+            return llm_asr_greedy_decode(model, params, feats, lens, max_len=max_len)
 
         frontend_fn = jax.jit(frontend.__call__)
 

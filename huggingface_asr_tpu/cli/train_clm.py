@@ -47,7 +47,7 @@ class CLMArguments:
     # Initialize from an external HF GPT-2 checkpoint (reference trains any
     # HF causal LM; we convert GPT-2-family state dicts into our decoder).
     from_hf_gpt2: str = ""
-    eval_every_blocks: int = 0  # 0 = eval only at end
+    max_eval_blocks: int = 0  # cap eval batches per eval pass; 0 = no cap
 
 
 class CLMTrainer(BaseTrainer):
@@ -184,12 +184,22 @@ def main(argv=None):
         )
 
         hf_cfg = GPT2Config.from_pretrained(clm_args.from_hf_gpt2)
+        # The checkpoint's embedding table is indexed by the CLI tokenizer's
+        # ids: a vocab mismatch would silently clamp out-of-range ids in
+        # jnp.take and corrupt training instead of erroring.
+        if ids["vocab_size"] > hf_cfg.vocab_size:
+            raise ValueError(
+                f"--tokenizer_name vocab ({ids['vocab_size']}) exceeds "
+                f"{clm_args.from_hf_gpt2} vocab ({hf_cfg.vocab_size}); "
+                "use the checkpoint's own tokenizer or retrain from scratch"
+            )
         config = GPT2DecoderConfig(
             vocab_size=hf_cfg.vocab_size,
             n_positions=hf_cfg.n_positions,
             n_embd=hf_cfg.n_embd,
             n_layer=hf_cfg.n_layer,
             n_head=hf_cfg.n_head,
+            n_inner=hf_cfg.n_inner,
             add_cross_attention=False,
             bos_token_id=ids["bos"],
             eos_token_id=ids["eos"],
@@ -248,8 +258,8 @@ def main(argv=None):
             eval_texts, tokenizer, clm_args.block_size,
             training.per_device_eval_batch_size, ids["bos"],
         )
-        if clm_args.eval_every_blocks:
-            ev = ev[: clm_args.eval_every_blocks]
+        if clm_args.max_eval_blocks:
+            ev = ev[: clm_args.max_eval_blocks]
         loss_sum = tok_sum = 0.0
         for batch in ev:
             out = jax.device_get(trainer.eval_step(state.params, batch))

@@ -43,6 +43,7 @@ from huggingface_asr_tpu.training.loop import CTCTrainer, TrainerConfig
 from huggingface_asr_tpu.training.model_factory import (
     apply_config_overrides,
     instantiate_ctc_model,
+    load_params,
     save_params,
 )
 from huggingface_asr_tpu.training.optim import OptimizerConfig
@@ -96,39 +97,113 @@ def main(argv=None):
     tokenizer = load_tokenizer(model_args.tokenizer_name)
     ids = tokenizer_ids(tokenizer)
 
-    if model_args.model_config:
-        with open(model_args.model_config) as f:
-            config = EBranchformerConfig.from_dict(json.load(f))
-        config = dataclasses.replace(config, vocab_size=ids["vocab_size"])
-    elif model_args.from_pretrained:
-        # architecture from the checkpoint (possibly an SSL pretrain one),
-        # vocab from the fine-tune tokenizer
+    dtype = parse_dtype(model_args.dtype)
+    family = model_args.model_family
+    encoder_init = None
+    trainer_cls = CTCTrainer
+    if family == "whisper_ctc":
+        # Whisper-encoder CTC (reference trains it through its CTC trainer
+        # with recipe-local imports, recipes_v0.0.1/librispeech_whisper_ctc/
+        # whisper_ctc.py:120-251).
+        from huggingface_asr_tpu.models.whisper_ctc import (
+            WhisperCTCConfig,
+            WhisperEncoderForCTC,
+        )
         from huggingface_asr_tpu.training.model_factory import load_config
 
-        config = load_config(model_args.from_pretrained, EBranchformerConfig)
+        if model_args.model_config:
+            with open(model_args.model_config) as f:
+                config = WhisperCTCConfig(**json.load(f))
+        elif model_args.from_pretrained:
+            config = load_config(model_args.from_pretrained, WhisperCTCConfig)
+        else:
+            config = WhisperCTCConfig()
         config = dataclasses.replace(config, vocab_size=ids["vocab_size"])
+        if model_args.config_overrides:
+            overrides = dict(p.split("=", 1) for p in model_args.config_overrides.split(";"))
+            config = apply_config_overrides(config, overrides)
+        model = WhisperEncoderForCTC(config, dtype=dtype)
+        params = (
+            load_params(model_args.from_pretrained)
+            if model_args.from_pretrained else None
+        )
+        num_mel = config.num_mel_bins
+    elif family == "llm_asr":
+        # Whisper-CTC encoder soft-prompting a causal LLM (reference
+        # local_models.py:10-243).
+        from huggingface_asr_tpu.models.llm_asr import LLMASRConfig, LLMASRModel
+        from huggingface_asr_tpu.training.loop import LLMASRTrainer
+        from huggingface_asr_tpu.training.model_factory import load_config
+
+        if model_args.model_config:
+            from huggingface_asr_tpu.models.gpt2_decoder import GPT2DecoderConfig
+            from huggingface_asr_tpu.models.whisper_ctc import WhisperCTCConfig
+
+            with open(model_args.model_config) as f:
+                d = json.load(f)
+            config = LLMASRConfig(
+                encoder=WhisperCTCConfig(**d.get("encoder", {})),
+                decoder=GPT2DecoderConfig(**{
+                    k: tuple(v) if isinstance(v, list) else v
+                    for k, v in d.get("decoder", {}).items()
+                }),
+                **{k: v for k, v in d.items() if k not in ("encoder", "decoder")},
+            )
+        elif model_args.from_pretrained:
+            config = load_config(model_args.from_pretrained, LLMASRConfig)
+        else:
+            config = LLMASRConfig()
+        # Encoder and LLM share the CLI tokenizer's vocab (the reference's
+        # vocab-subset head makes the same identification).
+        config = dataclasses.replace(
+            config,
+            encoder=dataclasses.replace(config.encoder, vocab_size=ids["vocab_size"]),
+            decoder=dataclasses.replace(
+                config.decoder, vocab_size=ids["vocab_size"],
+                bos_token_id=ids["bos"], eos_token_id=ids["eos"],
+                pad_token_id=ids["pad"],
+            ),
+        )
+        model = LLMASRModel(config, dtype=dtype)
+        params = (
+            load_params(model_args.from_pretrained)
+            if model_args.from_pretrained else None
+        )
+        trainer_cls = LLMASRTrainer
+        num_mel = config.encoder.num_mel_bins
     else:
-        config = EBranchformerConfig(vocab_size=ids["vocab_size"])
-    if model_args.config_overrides:
-        overrides = dict(p.split("=", 1) for p in model_args.config_overrides.split(";"))
-        config = apply_config_overrides(config, overrides)
+        if model_args.model_config:
+            with open(model_args.model_config) as f:
+                config = EBranchformerConfig.from_dict(json.load(f))
+            config = dataclasses.replace(config, vocab_size=ids["vocab_size"])
+        elif model_args.from_pretrained:
+            # architecture from the checkpoint (possibly an SSL pretrain one),
+            # vocab from the fine-tune tokenizer
+            from huggingface_asr_tpu.training.model_factory import load_config
 
-    dtype = parse_dtype(model_args.dtype)
-    model, params = instantiate_ctc_model(
-        config,
-        from_pretrained=model_args.from_pretrained,
-        from_hf_checkpoint=model_args.from_hf_checkpoint,
-        dtype=dtype,
-    )
-    # SSL (pretrain.py) checkpoint: encoder-only initialization — fresh CTC
-    # head over the pretrained encoder (reference fine-tune flow,
-    # bestrq.py:191-322 / pretrain.py:21-88).
-    encoder_init = None
-    if params is not None and "lm_head" not in params:
-        encoder_init = params["wav2vec2"]
-        params = None
+            config = load_config(model_args.from_pretrained, EBranchformerConfig)
+            config = dataclasses.replace(config, vocab_size=ids["vocab_size"])
+        else:
+            config = EBranchformerConfig(vocab_size=ids["vocab_size"])
+        if model_args.config_overrides:
+            overrides = dict(p.split("=", 1) for p in model_args.config_overrides.split(";"))
+            config = apply_config_overrides(config, overrides)
 
-    frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=config.num_fbanks))
+        model, params = instantiate_ctc_model(
+            config,
+            from_pretrained=model_args.from_pretrained,
+            from_hf_checkpoint=model_args.from_hf_checkpoint,
+            dtype=dtype,
+        )
+        # SSL (pretrain.py) checkpoint: encoder-only initialization — fresh CTC
+        # head over the pretrained encoder (reference fine-tune flow,
+        # bestrq.py:191-322 / pretrain.py:21-88).
+        if params is not None and "lm_head" not in params:
+            encoder_init = params["wav2vec2"]
+            params = None
+        num_mel = config.num_fbanks
+
+    frontend = LogMelFrontEnd(LogMelConfig(num_mel_bins=num_mel))
     trainer_cfg = build_trainer_config(training)
 
     speed_perturb = None
@@ -147,7 +222,7 @@ def main(argv=None):
                 spec_augment=plan.spec_augment,
                 spec_augment_start_step=plan.spec_augment_start_step,
             )
-    trainer = CTCTrainer(model, trainer_cfg, frontend=frontend)
+    trainer = trainer_cls(model, trainer_cfg, frontend=frontend)
 
     collator_cfg = CollatorConfig(
         bucketing=BucketingConfig(

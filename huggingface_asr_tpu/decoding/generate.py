@@ -35,12 +35,24 @@ def build_decoder_step(
     encoder_lengths: jnp.ndarray,  # (BW,)
     max_length: int,
     dtype=jnp.float32,
+    kv_hidden: Optional[jnp.ndarray] = None,   # (B, S, D) UNexpanded
+    kv_lengths: Optional[jnp.ndarray] = None,  # (B,)
 ):
-    """Returns (step_fn, init_cache) for joint_beam_search."""
+    """Returns (step_fn, init_cache) for joint_beam_search.
+
+    When ``kv_hidden``/``kv_lengths`` (the unexpanded encoder outputs) are
+    given, the cross-attention K/V cache is written ONCE per batch element
+    and shared across beams (CachedAttention folds the beam dim into the
+    query-time dim) — W× less HBM read per decode step and real (W, S)
+    matmuls instead of BW rank-1 dots. Without them, the cache is written
+    from the beam-expanded hidden (legacy layout).
+    """
     module = GPT2MultiHeadDecoder(
         decoder_config, dtype=dtype, decode_max_length=max_length
     )
     BW = encoder_hidden.shape[0]
+    write_hidden = kv_hidden if kv_hidden is not None else encoder_hidden
+    read_lengths = kv_lengths if kv_lengths is not None else encoder_lengths
     dummy = jnp.zeros((BW, 1), jnp.int32)
     init_vars = module.init(
         jax.random.key(0),
@@ -55,7 +67,7 @@ def build_decoder_step(
     _, kv_vars = module.apply(
         {"params": decoder_params, "cache": init_vars["cache"]},
         None,
-        encoder_hidden=encoder_hidden,
+        encoder_hidden=write_hidden,
         cross_kv_mode="write",
         mutable=["cache"],
     )
@@ -65,8 +77,8 @@ def build_decoder_step(
         out, vars_out = module.apply(
             {"params": decoder_params, "cache": cache},
             tokens,
-            encoder_hidden=encoder_hidden,
-            encoder_lengths=encoder_lengths,
+            encoder_hidden=write_hidden,
+            encoder_lengths=read_lengths,
             deterministic=True,
             decode=True,
             position_offset=positions,
@@ -144,6 +156,8 @@ def generate_joint(
         lengths_exp,
         config.max_length,
         dtype=model.dtype,
+        kv_hidden=cross_hidden,
+        kv_lengths=enc.logit_lengths,
     )
 
     lm_step = init_lm_cache = None

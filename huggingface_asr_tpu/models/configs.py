@@ -46,8 +46,12 @@ class EBranchformerConfig:
     # use the fused custom-VJP Pallas kernel (ops/pallas_train_attention.py
     # — measured 132.7 -> 118.4 ms on the B=64x10 s train step). "pallas"
     # forces both the training kernel and the inference kernel
-    # (ops/pallas_attention.py); "xla" disables both. Inference stays XLA
-    # under "auto" so decode-parity paths keep their exact op order.
+    # (ops/pallas_attention.py); "xla" disables both. Inference through
+    # model.apply stays XLA under "auto" — but note the decode CLIs
+    # (evaluate.py, generate_joint) separately default fused_encoder="auto",
+    # which on TPU routes eligible encoders through the bf16 fused serving
+    # kernel; pass --fused_encoder off there to force the exact XLA op order
+    # for parity runs.
     attention_impl: str = "auto"  # auto | xla | pallas
     # Relative-position term evaluation: "gather" contracts a (T,T,H,dh)
     # gathered table; "shift" is one big (B*T*H,dh)x(dh,2T-1) MXU matmul +

@@ -139,10 +139,38 @@ class CachedAttention(nn.Module):
         if self.cross:
             q = nn.Dense(D, dtype=self.dtype, kernel_init=_winit(cfg), name="q_attn")(x)
             if cross_kv_mode == "read":
-                k = self.get_variable("cache", "cached_enc_key")
-                v = self.get_variable("cache", "cached_enc_value")
-                k = k.reshape(B, -1, H * dh)
-                v = v.reshape(B, -1, H * dh)
+                k4 = self.get_variable("cache", "cached_enc_key")
+                v4 = self.get_variable("cache", "cached_enc_value")
+                Bkv = k4.shape[0]
+                if Bkv != B:
+                    # Beam-shared cross-attention KV: the cache was written
+                    # from the UNEXPANDED encoder hidden (one copy per batch
+                    # element), and x carries B = Bkv*W beam rows. Fold the
+                    # beam dim into the query-time dim: the QK/PV
+                    # contractions run as real (W, S) matmuls batched over
+                    # Bkv instead of B*W rank-1 dots — and the (Bkv, S, H,
+                    # dh) K/V is read from HBM ONCE per step instead of W
+                    # times. Cross-attention has no causal mask, so folding
+                    # W queries is mathematically identical.
+                    W = B // Bkv
+                    qf = q.reshape(Bkv, W * Tq, H, dh)
+                    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k4) / jnp.sqrt(
+                        dh
+                    ).astype(self.dtype)
+                    scores = scores.astype(jnp.float32)
+                    if attention_bias is not None:
+                        scores = scores + attention_bias
+                    probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+                    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v4).reshape(B, Tq, D)
+                    out = nn.Dense(
+                        D, dtype=self.dtype, kernel_init=_winit_resid(cfg),
+                        name="c_proj",
+                    )(out)
+                    return nn.Dropout(cfg.resid_pdrop)(
+                        out, deterministic=deterministic
+                    )
+                k = k4.reshape(B, -1, H * dh)
+                v = v4.reshape(B, -1, H * dh)
             else:
                 kv = nn.Dense(2 * D, dtype=self.dtype, kernel_init=_winit(cfg), name="c_attn")(kv_source)
                 k, v = jnp.split(kv, 2, axis=-1)

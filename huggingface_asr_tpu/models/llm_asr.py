@@ -78,8 +78,15 @@ class LLMASRModel(nn.Module):
         dcfg = cfg.decoder
         P = cfg.number_of_prompt_tokens
 
+        # Aux CTC loss (reference local_models.py ctc_weight): labels are
+        # LLM-vocab ids, so the encoder head must share that vocab — the
+        # reference guarantees this via its vocab-subset head; here the
+        # config must set encoder.vocab_size accordingly.
+        enc_labels = labels if (cfg.ctc_weight > 0.0 and labels is not None) else None
         enc = WhisperEncoderForCTC(cfg.encoder, self.dtype, name="encoder")(
-            input_features, input_lengths, deterministic=deterministic
+            input_features, input_lengths,
+            labels=enc_labels, label_lengths=label_lengths if enc_labels is not None else None,
+            deterministic=deterministic,
         )
         enc_hidden = enc.hidden_states[-1]  # (B, T, llm_dim-ish)
         enc_logits = enc.logits
@@ -188,3 +195,46 @@ class LLMASRModel(nn.Module):
             asr_lengths=n_asr,
             token_plan=tok_plan,
         )
+
+
+def llm_asr_greedy_decode(
+    model: LLMASRModel,
+    params,
+    input_features: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    max_len: int = 48,
+):
+    """Greedy generation from the LLM over the soft-prompt + ASR-frame prefix
+    (reference local_utils.py do_evaluate drives HF ``generate`` on the LLM;
+    recipes_v0.0.1/librispeech_whisper_ctc/local_utils.py).
+
+    The LLM is causal, so the logit at absolute position ``end_pos + j``
+    depends only on the prefix and labels[0..j-1] — a fixed-shape label
+    buffer re-forwarded per step therefore yields exact greedy decoding
+    without a KV cache. O(max_len) full forwards: fine for CLI evaluation,
+    not a serving path.
+
+    Returns (tokens (B, max_len) int32, lengths (B,) — cut at first eos).
+    """
+    dcfg = model.config.decoder
+    pad_id = dcfg.pad_token_id if dcfg.pad_token_id is not None else 0
+    B = input_features.shape[0]
+    P = model.config.number_of_prompt_tokens
+
+    def step(buf, j):
+        out = model.apply(
+            {"params": params}, input_features, input_lengths,
+            labels=buf, label_lengths=jnp.full((B,), max_len, jnp.int32),
+            deterministic=True,
+        )
+        end_pos = 1 + P + out.asr_lengths  # position whose logit predicts labels[j=0]
+        logit_j = jax.vmap(lambda lg, e: lg[e + j])(out.llm_logits, end_pos)
+        tok = jnp.argmax(logit_j, axis=-1).astype(jnp.int32)
+        return buf.at[:, j].set(tok), tok
+
+    buf = jnp.full((B, max_len), pad_id, jnp.int32)
+    buf, _ = jax.lax.scan(step, buf, jnp.arange(max_len))
+    is_eos = buf == dcfg.eos_token_id
+    seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) > 0
+    lengths = jnp.sum(~seen_eos, axis=1).astype(jnp.int32)
+    return buf, lengths

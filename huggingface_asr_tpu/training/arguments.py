@@ -30,8 +30,11 @@ class ModelArguments:
     lsm_factor: float = 0.1
     shared_lm_head: bool = False
     decoder_pos_emb_fixed: bool = False
-    # AED family: "decred" (E-Branchformer + GPT-2 joint) or "whisper"
+    # AED (train_aed): "decred" (E-Branchformer + GPT-2 joint) or "whisper"
     # (Whisper seq2seq fine-tune, reference train_enc_dec_asr.py:82-85).
+    # CTC (train_ctc): default E-Branchformer; "whisper_ctc" (Whisper-encoder
+    # CTC, reference recipes_v0.0.1/librispeech_whisper_ctc/whisper_ctc.py)
+    # or "llm_asr" (soft-prompted LLM, reference local_models.py:10-243).
     model_family: str = "decred"
     # Whisper generation prompt (reference handle_whisper_generation_config,
     # model_utils.py:248-261): sets forced_decoder_ids from the tokenizer.

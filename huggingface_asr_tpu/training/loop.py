@@ -218,21 +218,26 @@ class BaseTrainer:
         return self._train_step(state, batch)
 
     def eval_step(self, params, batch):
+        # Shard the eval batch over the data axis like the train step
+        # (otherwise a pod would run eval replicated on one device's
+        # worth of work per host). Falls back to an unsharded jit when
+        # the eval batch does not divide the mesh. Cached per divisibility +
+        # key set: a later batch with a different leading dim or keys must
+        # not reuse shardings derived from the first batch.
+        n_data = self.mesh.shape["data"]
+        bs = next(iter(batch.values())).shape[0]
+        cache_key = (bs % n_data == 0, tuple(sorted(batch.keys())))
         if self._eval_step is None:
-            # Shard the eval batch over the data axis like the train step
-            # (otherwise a pod would run eval replicated on one device's
-            # worth of work per host). Falls back to an unsharded jit when
-            # the eval batch does not divide the mesh.
-            n_data = self.mesh.shape["data"]
-            bs = next(iter(batch.values())).shape[0]
-            if bs % n_data == 0:
-                self._eval_step = jax.jit(
+            self._eval_step = {}
+        if cache_key not in self._eval_step:
+            if cache_key[0]:
+                self._eval_step[cache_key] = jax.jit(
                     self.eval_outputs,
                     in_shardings=(None, self.batch_shardings(batch)),
                 )
             else:
-                self._eval_step = jax.jit(self.eval_outputs)
-        return self._eval_step(params, batch)
+                self._eval_step[cache_key] = jax.jit(self.eval_outputs)
+        return self._eval_step[cache_key](params, batch)
 
     # ------------------------------------------------------------------ loop
     def fit(
@@ -422,7 +427,64 @@ class CTCTrainer(BaseTrainer):
             label_lengths=batch.get("label_lengths"),
             deterministic=True,
         )
-        tokens, token_lengths = ctc_greedy_decode(out.logits, out.logit_lengths, blank_id=-1)
+        # blank = last index for the E-Branchformer family (reference
+        # convention); Whisper-CTC models carry an explicit blank_token_id.
+        blank = getattr(self.model.config, "blank_token_id", -1)
+        tokens, token_lengths = ctc_greedy_decode(
+            out.logits, out.logit_lengths, blank_id=blank
+        )
+        return {
+            "loss": out.loss if out.loss is not None else jnp.zeros(()),
+            "tokens": tokens,
+            "token_lengths": token_lengths,
+        }
+
+
+class LLMASRTrainer(BaseTrainer):
+    """LLM-ASR training (Whisper-CTC encoder → soft-prompted causal LLM;
+    reference trains these through its CTC trainer with recipe-local models,
+    recipes_v0.0.1/librispeech_whisper_ctc/local_models.py:10-243)."""
+
+    def _init_args(self, batch):
+        feats, lengths = super()._init_args(batch)[0]
+        return (feats, lengths), {
+            "labels": jnp.asarray(batch["labels"]),
+            "label_lengths": jnp.asarray(batch["label_lengths"]),
+        }
+
+    def loss_and_metrics(self, params, batch, aug_rng, dropout_rng, step):
+        feats, lengths = self._featurize(batch)
+        feats = self._maybe_spec_augment(aug_rng, feats, lengths, step)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            labels=batch["labels"],
+            label_lengths=batch["label_lengths"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        metrics = {}
+        if out.enc_loss is not None:
+            metrics["enc_loss"] = out.enc_loss
+        return out.loss, metrics
+
+    def eval_outputs(self, params, batch):
+        from huggingface_asr_tpu.models.llm_asr import llm_asr_greedy_decode
+
+        feats, lengths = self._featurize(batch)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            lengths,
+            labels=batch.get("labels"),
+            label_lengths=batch.get("label_lengths"),
+            deterministic=True,
+        )
+        max_len = batch["labels"].shape[1] if "labels" in batch else 48
+        tokens, token_lengths = llm_asr_greedy_decode(
+            self.model, params, feats, lengths, max_len=max_len
+        )
         return {
             "loss": out.loss if out.loss is not None else jnp.zeros(()),
             "tokens": tokens,
@@ -516,14 +578,19 @@ class BestRQTrainer(BaseTrainer):
 
         mgr = self.checkpoint_manager
         step = step if step is not None else mgr.latest_step()
-        restored = mgr.restore(
-            step,
-            args=ocp.args.StandardRestore({
-                "params": state.params, "opt_state": state.opt_state,
-                "step": state.step, "buffers": jax.device_get(self.buffers),
-            }),
-        )
-        self.buffers = restored["buffers"]
+        template = {
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step, "buffers": jax.device_get(self.buffers),
+        }
+        try:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+            self.buffers = restored["buffers"]
+        except (KeyError, ValueError):
+            # Pre-round-4 checkpoints (BaseTrainer format) lack 'buffers';
+            # they are deterministic from the config, so the lazily created
+            # ones are already correct.
+            del template["buffers"]
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
         return state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"],

@@ -82,6 +82,17 @@ def load_config(path: str, cls):
             }),
             **{k: v for k, v in d.items() if k not in ("encoder", "decoder")},
         )
+    if cls.__name__ == "LLMASRConfig":
+        from huggingface_asr_tpu.models.whisper_ctc import WhisperCTCConfig
+
+        return cls(
+            encoder=WhisperCTCConfig(**d["encoder"]),
+            decoder=GPT2DecoderConfig(**{
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in d["decoder"].items()
+            }),
+            **{k: v for k, v in d.items() if k not in ("encoder", "decoder")},
+        )
     return cls.from_dict(d) if hasattr(cls, "from_dict") else cls(**d)
 
 

@@ -63,6 +63,31 @@ def test_fused_layer_matches_flax():
     assert diff.max() <= 0.05 * max(scale, 1.0), (diff.max(), scale)
 
 
+@pytest.mark.parametrize("m_mode", ["skip"])
+def test_fused_layer_softmax_m_skip_close_to_bitexact(m_mode):
+    """SOFTMAX_M_MODE='skip' (static exp2 bound instead of the per-row max
+    reduction) is exact softmax modulo bf16 re-rounding of e by a non-
+    power-of-two factor 2^(m-BOUND); the fused logits must stay within a
+    few bf16 ulps of the rowmax chain."""
+    from huggingface_asr_tpu.ops import pallas_layer
+
+    model, params, x, lens = _setup()
+    ref = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
+    assert pallas_layer.SOFTMAX_M_MODE == "rowmax"  # module default
+    try:
+        pallas_layer.SOFTMAX_M_MODE = m_mode
+        got = ctc_infer_fused(params, CFG, x, lens, bb=2, interpret=True)
+    finally:
+        pallas_layer.SOFTMAX_M_MODE = "rowmax"
+    r = np.asarray(ref.logits, np.float32)
+    g = np.asarray(got.logits, np.float32)
+    valid = np.arange(r.shape[1])[None, :] < np.asarray(got.logit_lengths)[:, None]
+    diff = np.abs(g - r)[valid]
+    scale = np.abs(r[valid]).max()
+    assert np.isfinite(g[valid]).all()
+    assert diff.max() <= 0.05 * max(scale, 1.0), (diff.max(), scale)
+
+
 @pytest.mark.parametrize(
     "gelu_mode,z_mode",
     [("fast", "vpu"), ("fastest", "vpu"), ("bitexact", "mxu"),

@@ -87,7 +87,7 @@ def build(work, n_train, n_eval, vocab):
     return ds_dir, tok_dir
 
 
-def train(work, ds_dir, tok_dir, steps, batch):
+def train(work, ds_dir, tok_dir, steps, batch, lr=2e-3):
     from huggingface_asr_tpu.cli.train_aed import main as aed_main
 
     out = os.path.join(work, "aed")
@@ -103,7 +103,7 @@ def train(work, ds_dir, tok_dir, steps, batch):
         "--max_steps", str(steps), "--logging_steps", "100",
         "--eval_steps", str(max(steps // 4, 1)), "--save_steps", str(steps),
         "--warmup_steps", str(min(500, steps // 5)),
-        "--learning_rate", "2e-3", "--ctc_weight", str(CTC_WEIGHT),
+        "--learning_rate", str(lr), "--ctc_weight", str(CTC_WEIGHT),
         "--num_beams", str(NUM_BEAMS), "--max_length", str(MAX_LEN),
         "--num_candidates", "32",
         "--max_duration_in_seconds", "6", "--pad_to_multiple", "100",
@@ -415,6 +415,10 @@ def main(argv=None):
     ap.add_argument("--work_dir", default="/tmp/aed_val")
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=2e-3,
+                    help="training LR (the base size needs ~1e-3: 2e-3 "
+                         "left the 12-layer encoder near-random at 4k steps "
+                         "— VERDICT r4 weak #2)")
     ap.add_argument("--n_train", type=int, default=1024)
     ap.add_argument("--n_eval", type=int, default=64)
     ap.add_argument("--vocab", type=int, default=40)
@@ -450,7 +454,7 @@ def main(argv=None):
     jax.config.update("jax_default_matmul_precision", "highest")
     ds_dir, tok_dir = build(args.work_dir, args.n_train, args.n_eval, args.vocab)
     if not (args.skip_train and os.path.exists(os.path.join(args.work_dir, "aed", "final"))):
-        train(args.work_dir, ds_dir, tok_dir, args.steps, args.batch)
+        train(args.work_dir, ds_dir, tok_dir, args.steps, args.batch, args.lr)
 
     lm_dir = None
     if args.lm_weight > 0.0:

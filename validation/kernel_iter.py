@@ -42,6 +42,8 @@ def main():
                          "(bitexact/fast/fastest)")
     ap.add_argument("--zmode", default="vpu",
                     help="';'-separated SOFTMAX_Z_MODE variants (vpu/mxu)")
+    ap.add_argument("--mmode", default="rowmax",
+                    help="';'-separated SOFTMAX_M_MODE variants (rowmax/skip)")
     args = ap.parse_args()
 
     import jax
@@ -84,17 +86,19 @@ def main():
 
     bbs = [int(b) for b in args.bb_sweep.split(";")] if args.bb_sweep else [args.bb]
     variants = [
-        (a, m, bb, g, z)
+        (a, m, bb, g, z, mm)
         for a in args.ablate.split(";")
         for m in args.attn_out.split(";")
         for bb in bbs
         for g in args.gelu.split(";")
         for z in args.zmode.split(";")
+        for mm in args.mmode.split(";")
     ]
-    for ablate, attn_out, bb, gelu, zmode in variants:
+    for ablate, attn_out, bb, gelu, zmode, mmode in variants:
         pallas_layer.ATTN_OUT_MODE = attn_out
         pallas_layer.GELU_MODE = gelu
         pallas_layer.SOFTMAX_Z_MODE = zmode
+        pallas_layer.SOFTMAX_M_MODE = mmode
 
         # ALL iterations inside ONE compiled program (lax.scan over the
         # stacked inputs, like bench.py): the ~29 ms axon dispatch RTT is
@@ -118,7 +122,7 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters / args.layers
         print(json.dumps({
             "ablate": ablate, "attn_out": attn_out, "bb": bb, "gelu": gelu,
-            "zmode": zmode,
+            "zmode": zmode, "mmode": mmode,
             "B": B, "T": T, "ms_per_layer": round(dt * 1e3, 3),
         }), flush=True)
 
