@@ -207,6 +207,8 @@ def build_whisper_decoder_step(
     forced_decoder_ids: Optional[Tuple[Tuple[int, int], ...]] = None,
     suppress_tokens: Optional[Tuple[int, ...]] = None,
     begin_suppress_tokens: Optional[Tuple[int, ...]] = None,
+    kv_hidden: Optional[jnp.ndarray] = None,   # (B, S, D) UNexpanded
+    kv_lengths: Optional[jnp.ndarray] = None,  # (B,)
 ):
     """(step_fn, init_cache) for Whisper AED beam search.
 
@@ -224,6 +226,8 @@ def build_whisper_decoder_step(
         model.config, dtype=model.dtype, decode_max_length=max_length
     )
     BW = encoder_hidden.shape[0]
+    write_hidden = kv_hidden if kv_hidden is not None else encoder_hidden
+    read_lengths = kv_lengths if kv_lengths is not None else encoder_lengths
     dummy = jnp.zeros((BW, 1), jnp.int32)
     init_vars = module.init(
         jax.random.key(0),
@@ -236,7 +240,7 @@ def build_whisper_decoder_step(
     _, kv_vars = module.apply(
         {"params": params, "cache": init_vars["cache"]},
         None,
-        encoder_hidden=encoder_hidden,
+        encoder_hidden=write_hidden,
         cross_kv_mode="write",
         mutable=["cache"],
     )
@@ -258,8 +262,8 @@ def build_whisper_decoder_step(
         logits, vars_out = module.apply(
             {"params": params, "cache": cache},
             tokens,
-            encoder_hidden=encoder_hidden,
-            encoder_lengths=encoder_lengths,
+            encoder_hidden=write_hidden,
+            encoder_lengths=read_lengths,
             deterministic=True,
             decode=True,
             position_offset=positions,
@@ -317,6 +321,8 @@ def generate_whisper(
         forced_decoder_ids=forced_decoder_ids,
         suppress_tokens=suppress_tokens,
         begin_suppress_tokens=begin_suppress_tokens,
+        kv_hidden=enc_hidden,
+        kv_lengths=enc_lengths,
     )
     return joint_beam_search(
         step,

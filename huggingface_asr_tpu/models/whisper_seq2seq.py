@@ -161,8 +161,26 @@ class _DecoderAttention(nn.Module):
         q = nn.Dense(D, dtype=self.dtype, name="q_proj")(x) * (dh**-0.5)
         if self.cross:
             if cross_kv_mode == "read":
-                k = self.get_variable("cache", "cached_enc_key").reshape(B, -1, H * dh)
-                v = self.get_variable("cache", "cached_enc_value").reshape(B, -1, H * dh)
+                k4 = self.get_variable("cache", "cached_enc_key")
+                v4 = self.get_variable("cache", "cached_enc_value")
+                Bkv = k4.shape[0]
+                if Bkv != B:
+                    # Beam-shared cross-attention KV (see gpt2_decoder
+                    # CachedAttention): the cache holds one copy per batch
+                    # element; fold the beam dim into the query-time dim so
+                    # K/V is read once per step and the contraction is a
+                    # real (W, S) matmul. No causal mask in cross-attn, so
+                    # the fold is exact.
+                    W = B // Bkv
+                    qf = q.reshape(Bkv, W * Tq, H, dh)
+                    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k4).astype(jnp.float32)
+                    if attention_bias is not None:
+                        scores = scores + attention_bias
+                    probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+                    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v4).reshape(B, Tq, D)
+                    return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+                k = k4.reshape(B, -1, H * dh)
+                v = v4.reshape(B, -1, H * dh)
             else:
                 k = nn.Dense(D, use_bias=False, dtype=self.dtype, name="k_proj")(kv_source)
                 v = nn.Dense(D, dtype=self.dtype, name="v_proj")(kv_source)
