@@ -145,17 +145,32 @@ def main(argv=None):
         print(f"=== corpus: {name} ({ds_dir})", flush=True)
         full[name] = sweep_corpus(work, ds_dir, args.variants)
 
+    def _ident(v):
+        s = v["identical_to_bitexact"]
+        return s == "base" or s.split("/")[0] == s.split("/")[1]
+
+    # The SERVING numeric profile is exactly (fastest GELU, newton recip,
+    # bf16 DFT, mxu z, rowmax m) — pallas_layer.set_numeric_profile. Other
+    # swept variants are experiments; a failing experiment (recorded for
+    # evidence) must not read as a failing serving gate.
+    serving_variant = "fastest:newton:bf16:mxu"
+    summary = {
+        "corpora": sorted(full),
+        "all_identical": all(
+            _ident(v) for rep in full.values() for v in rep.values()
+        ),
+        "serving_profile_green": all(
+            _ident(rep[serving_variant]) for rep in full.values()
+            if serving_variant in rep
+        ) and len(full) >= 2,
+    }
+    full["summary"] = summary
     with open(os.path.join(args.work_dir, "fused_mode_check.json"), "w") as f:
         json.dump(full, f, indent=2)
     # repo-level report, keyed by corpus (VERDICT r4 next #1)
     with open(os.path.join(REPO, "validation", "fused_mode_report.json"), "w") as f:
         json.dump(full, f, indent=2)
-    ok = all(
-        v["identical_to_bitexact"] in ("base", f"{64}/{64}")
-        or v["identical_to_bitexact"].split("/")[0] == v["identical_to_bitexact"].split("/")[1]
-        for rep in full.values() for v in rep.values()
-    )
-    print(json.dumps({"corpora": sorted(full), "all_identical": ok}), flush=True)
+    print(json.dumps(summary), flush=True)
     return full
 
 
