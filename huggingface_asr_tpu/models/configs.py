@@ -62,6 +62,16 @@ class EBranchformerConfig:
     # train step (gather costs +31 ms/step at B=64x10 s on v5e — the gathered
     # (T,T,H,dh) table is the difference; validation/train_attrib.py r4).
     relpos_impl: str = "factored"  # gather | shift | factored
+    # Depthwise-conv evaluation in the XLA (training) path: "conv" lowers to
+    # lax.conv_general_dilated with feature groups; "slice" evaluates the same
+    # cross-correlation as k static-slice FMAs over a once-padded buffer, so
+    # the autodiff backward is also slice-FMAs (pad/mul/reduce) instead of the
+    # grouped transposed-conv lowering. Param tree is identical either way
+    # (kernel (k,1,C) + bias (C,) under the same module name). Numerics differ
+    # only in accumulation order — keep "conv" wherever decode parity gates
+    # byte-identical transcripts; the training CLIs may flip to "slice" purely
+    # for step time (training numerics are not parity-gated).
+    dwconv_impl: str = "conv"  # conv | slice
     # Rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades ~30% step FLOPs for O(layers) activation memory — the lever for
     # scaling batch size / sequence length.

@@ -400,6 +400,56 @@ class FeedForward(nn.Module):
         return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
 
+class _DWConvParams(nn.Module):
+    """Parameter shell matching ``nn.Conv``'s tree exactly (``kernel``
+    ``(k, 1, C)``, ``bias`` ``(C,)``) so checkpoints are interchangeable
+    between the two ``dwconv_impl`` evaluations."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+def _dwconv_1d(parent_cfg, x, features, kernel_size, dtype, name):
+    """Depthwise 1-D cross-correlation (torch ``nn.Conv1d(groups=C)``
+    semantics — reference e_branchformer.py cgMLP/merge convs), evaluated per
+    ``config.dwconv_impl``:
+
+    - ``"conv"``: ``nn.Conv`` → lax grouped conv (input grad lowers to a
+      grouped transposed conv).
+    - ``"slice"``: pad once, accumulate ``k`` static-slice FMAs
+      ``sum_j x_pad[:, j:j+T, :] * kernel[j, 0, :]``; autodiff of this form
+      stays pads/muls/reductions. Same math, accumulation order differs
+      (fp tolerance, not byte-identical) — keep "conv" on parity-gated
+      decode paths.
+    """
+    k = kernel_size
+    pad = (k - 1, 0) if parent_cfg.is_causal else ((k - 1) // 2, (k - 1) // 2)
+    if parent_cfg.dwconv_impl != "slice":
+        return nn.Conv(
+            features, (k,), padding=[pad], feature_group_count=features,
+            dtype=dtype, name=name,
+        )(x)
+    kernel, bias = _DWConvParams(features, k, name=name)()
+    kernel = kernel.astype(dtype)
+    T = x.shape[1]
+    x_pad = jnp.pad(x.astype(dtype), ((0, 0), pad, (0, 0)))
+    acc = x_pad[:, 0:T, :] * kernel[0, 0]
+    for j in range(1, k):
+        acc = acc + x_pad[:, j:j + T, :] * kernel[j, 0]
+    return acc + bias.astype(dtype)
+
+
 class ConvolutionalSpatialGatingUnit(nn.Module):
     config: EBranchformerConfig
     dtype: Any = jnp.float32
@@ -410,11 +460,7 @@ class ConvolutionalSpatialGatingUnit(nn.Module):
         n = cfg.intermediate_size // 2
         x_r, x_g = jnp.split(x, 2, axis=-1)
         x_g = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x_g)
-        k = cfg.csgu_kernel_size
-        pad = [(k - 1, 0)] if cfg.is_causal else [((k - 1) // 2, (k - 1) // 2)]
-        x_g = nn.Conv(
-            n, (k,), padding=pad, feature_group_count=n, dtype=self.dtype, name="conv"
-        )(x_g)
+        x_g = _dwconv_1d(cfg, x_g, n, cfg.csgu_kernel_size, self.dtype, "conv")
         if cfg.csgu_use_linear_after_conv:
             x_g = nn.Dense(n, dtype=self.dtype, kernel_init=_winit(cfg), name="linear")(x_g)
         x_g = ACT[cfg.csgu_activation](x_g)
@@ -463,13 +509,9 @@ class EBranchformerEncoderLayer(nn.Module):
         l = ConvolutionalGatingMLP(cfg, self.dtype, name="cgMLP")(l, deterministic)
 
         merged = jnp.concatenate([g, l], axis=-1)
-        k = cfg.merge_conv_kernel
-        pad = [(k - 1, 0)] if cfg.is_causal else [((k - 1) // 2, (k - 1) // 2)]
-        fused = nn.Conv(
-            2 * cfg.hidden_size, (k,), padding=pad,
-            feature_group_count=2 * cfg.hidden_size, dtype=self.dtype,
-            name="depthwise_conv_fusion",
-        )(merged)
+        fused = _dwconv_1d(cfg, merged, 2 * cfg.hidden_size,
+                           cfg.merge_conv_kernel, self.dtype,
+                           "depthwise_conv_fusion")
         merged = merged + fused
         merged = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=_winit(cfg), name="merge_proj")(merged)
         x = residual + drop(merged)

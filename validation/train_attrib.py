@@ -78,6 +78,14 @@ def apply_component_patch(mode):
 
         nn.Conv.__call__ = fake
         undos.append(lambda: setattr(nn.Conv, "__call__", orig))
+    elif mode == "no_ln":
+        orig = nn.LayerNorm.__call__
+
+        def fake(self, x, *a, **kw):
+            return x
+
+        nn.LayerNorm.__call__ = fake
+        undos.append(lambda: setattr(nn.LayerNorm, "__call__", orig))
 
     def undo():
         for u in undos:
@@ -110,6 +118,8 @@ def build(mode, args):
         extra.update(remat=True)
     if mode == "pallas_attn":
         extra.update(attention_impl="pallas")
+    if mode == "dwconv_slice":
+        extra.update(dwconv_impl="slice")
     config = EBranchformerConfig(
         hidden_size=args.hidden, num_hidden_layers=args.layers,
         num_attention_heads=8, intermediate_size=4 * args.hidden,

@@ -44,6 +44,11 @@ def main():
                     help="attention relpos_impl override (gather|shift|factored)")
     ap.add_argument("--remat", action="store_true",
                     help="enable per-layer gradient checkpointing")
+    ap.add_argument("--dwconv", default=None,
+                    help="dwconv_impl override (conv|slice): slice evaluates "
+                         "the depthwise convs as k static-slice FMAs whose "
+                         "autodiff avoids the grouped transposed-conv "
+                         "backward lowering")
     ap.add_argument("--layers", type=int, default=12,
                     help="override layer count (CPU smoke tests)")
     ap.add_argument("--hidden", type=int, default=256)
@@ -74,6 +79,8 @@ def main():
     extra = {}
     if args.relpos:
         extra["relpos_impl"] = args.relpos
+    if args.dwconv:
+        extra["dwconv_impl"] = args.dwconv
     config = EBranchformerConfig(
         hidden_size=args.hidden, num_hidden_layers=args.layers,
         num_attention_heads=8, intermediate_size=4 * args.hidden,
